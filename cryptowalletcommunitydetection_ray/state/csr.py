@@ -1,0 +1,275 @@
+"""Hash-partitioned CSR shard actors — the engine's iterative-graph state.
+
+This is the one place the engine drops below the Dataset API: a shared,
+mutable, partition-local rank/label vector that every superstep updates in
+place cannot be expressed as a stateless batch transform.  It replaces the
+reference's whole-graph-in-driver-RAM networkx model
+(``services/wallet_clustering.py:12``) with P actors, each owning
+
+  - the CSR of edges whose ``src % P == p`` (its hash partition, read from
+    the partitioned parquet artifact — each actor reads ONLY its files),
+  - the vertex-id slice ``vid % P == p`` and its rank/label vector.
+
+Superstep dataflow (all numpy, zero Python loops over edges):
+
+  1. every shard computes per-destination-partition messages — values
+     aggregated *locally per dst* first (``np.bincount``/``reduceat`` over a
+     presorted edge order).  This local combine is the skew defense: a hub
+     vertex with 10^8 in-edges receives at most P message entries per
+     superstep, not 10^8.
+  2. messages travel through the object store as numpy arrays via
+     per-destination ``num_returns`` slots, so shard q fetches exactly the
+     P slices addressed to it (never the full message matrix).
+  3. every shard folds its incoming slices in fixed partition order
+     (p = 0..P-1) — deterministic floating-point reduction, so a resumed
+     run reproduces bit-identical vectors.
+
+Edge/vertex partition invariants (guaranteed by ``pipelines.edges``):
+``src`` of every edge in part p hashes to p; every edge endpoint appears in
+the vertices artifact; vertex slices are disjoint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from ..pipelines.edges import read_part
+
+
+def _col(t: pa.Table, name: str) -> np.ndarray:
+    if t.num_rows == 0 or name not in t.schema.names:
+        return np.empty(0, dtype=np.uint64)
+    return np.asarray(t[name].to_numpy(zero_copy_only=False), dtype=np.uint64)
+
+
+class _ShardBase:
+    """Loads one CSR partition; precomputes the message routing structure."""
+
+    def _load(self, graph_dir: str, part: int, nparts: int, artifact: str) -> None:
+        self.part = part
+        self.nparts = nparts
+        t = read_part(graph_dir, artifact, part, ["src", "dst"])
+        src = _col(t, "src")
+        dst = _col(t, "dst")
+        vt = read_part(graph_dir, "vertices", part, ["vid"])
+        self.vids = np.sort(_col(vt, "vid"))
+        self.n_local = len(self.vids)
+
+        dst_part = (dst % np.uint64(nparts)).astype(np.int64)
+        order = np.lexsort((dst, dst_part))
+        src_sorted = src[order]
+        self.dst_sorted = dst[order]
+        # index of each edge's src in the local vertex slice (always local)
+        self.src_idx = np.searchsorted(self.vids, src_sorted)
+        self.qb = np.searchsorted(dst_part[order], np.arange(nparts + 1))
+        # per-destination-partition segment ids (for the local combine)
+        self.seg = np.empty(len(dst), dtype=np.int64)
+        self.uniq_dst: list[np.ndarray] = []
+        self.n_uniq: list[int] = []
+        for q in range(nparts):
+            s, e = int(self.qb[q]), int(self.qb[q + 1])
+            if s == e:
+                self.uniq_dst.append(np.empty(0, dtype=np.uint64))
+                self.n_uniq.append(0)
+                continue
+            u, inv = np.unique(self.dst_sorted[s:e], return_inverse=True)
+            self.uniq_dst.append(u)
+            self.n_uniq.append(len(u))
+            self.seg[s:e] = inv
+        # out-degree over THIS artifact (directed artifact → true out-degree)
+        self.outdeg = np.bincount(self.src_idx, minlength=self.n_local).astype(
+            np.int64
+        ) if len(src) else np.zeros(self.n_local, dtype=np.int64)
+
+    # --- state persistence (checkpoint slices) ---------------------------
+    def _save_vec(self, path: str, name: str, vec: np.ndarray) -> None:
+        import os
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(pa.table({"vid": self.vids, name: vec}), path)
+
+    def _load_vec(self, path: str, name: str) -> np.ndarray:
+        t = pq.read_table(path)
+        vids = np.asarray(t["vid"].to_numpy(), dtype=np.uint64)
+        vec = t[name].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.vids, vids)
+        out = np.empty(self.n_local, dtype=vec.dtype)
+        out[idx] = vec
+        return out
+
+
+@ray.remote
+class PageRankShard(_ShardBase):
+    """Power iteration with dangling-mass redistribution (directed edges)."""
+
+    def __init__(self, graph_dir: str, part: int, nparts: int):
+        self._load(graph_dir, part, nparts, "edges")
+        self.dangling_mask = self.outdeg == 0
+        self.rank = np.empty(0)
+        self.n_total = 0
+
+    def init_rank(self, n_total: int) -> None:
+        self.n_total = n_total
+        self.rank = np.full(self.n_local, 1.0 / n_total, dtype=np.float64)
+
+    def restore(self, path: str, n_total: int) -> None:
+        self.n_total = n_total
+        self.rank = self._load_vec(path, "rank")
+
+    def compute(self):
+        """Returns nparts message slices + (dangling_sum,) as slot P."""
+        contrib = self.rank / np.maximum(self.outdeg, 1)
+        vals = contrib[self.src_idx]
+        out = []
+        for q in range(self.nparts):
+            s, e = int(self.qb[q]), int(self.qb[q + 1])
+            if s == e:
+                out.append(None)
+                continue
+            sums = np.bincount(self.seg[s:e], weights=vals[s:e],
+                               minlength=self.n_uniq[q])
+            out.append((self.uniq_dst[q], sums))
+        dangling = float(self.rank[self.dangling_mask].sum())
+        return (*out, dangling)
+
+    def apply(self, msg_refs, dangling_total: float, alpha: float) -> float:
+        incoming = np.zeros(self.n_local, dtype=np.float64)
+        for m in ray.get(list(msg_refs)):  # fixed order p=0..P-1: deterministic
+            if m is None:
+                continue
+            idx = np.searchsorted(self.vids, m[0])
+            incoming[idx] += m[1]
+        base = (1.0 - alpha) / self.n_total + alpha * dangling_total / self.n_total
+        new = base + alpha * incoming
+        delta = float(np.abs(new - self.rank).sum())
+        self.rank = new
+        return delta
+
+    def save(self, path: str) -> None:
+        self._save_vec(path, "rank", self.rank)
+
+    def get_table(self) -> pa.Table:
+        return pa.table({"vid": self.vids, "rank": self.rank})
+
+
+@ray.remote
+class MinLabelShard(_ShardBase):
+    """Hash-min label propagation (connected components) over undirected
+    edges, with a change-frontier so converged regions stop sending."""
+
+    def __init__(self, graph_dir: str, part: int, nparts: int):
+        self._load(graph_dir, part, nparts, "edges_und")
+        self.labels = self.vids.copy()
+        self.frontier = np.ones(self.n_local, dtype=bool)
+
+    def restore(self, path: str) -> None:
+        self.labels = self._load_vec(path, "label")
+        self.frontier = np.ones(self.n_local, dtype=bool)  # safe over-approx
+
+    def compute(self):
+        mask = self.frontier[self.src_idx]
+        cand = self.labels[self.src_idx]
+        out = []
+        for q in range(self.nparts):
+            s, e = int(self.qb[q]), int(self.qb[q + 1])
+            m = mask[s:e]
+            if s == e or not m.any():
+                out.append(None)
+                continue
+            d = self.dst_sorted[s:e][m]
+            v = cand[s:e][m]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            out.append((d[starts], np.minimum.reduceat(v, starts)))
+        return (*out, int(self.frontier.sum()))
+
+    def apply(self, msg_refs) -> int:
+        best = self.labels.copy()
+        for m in ray.get(list(msg_refs)):
+            if m is None:
+                continue
+            idx = np.searchsorted(self.vids, m[0])
+            best[idx] = np.minimum(best[idx], m[1])
+        changed = best < self.labels
+        self.labels = best
+        self.frontier = changed
+        return int(changed.sum())
+
+    def save(self, path: str) -> None:
+        self._save_vec(path, "label", self.labels)
+
+    def get_table(self) -> pa.Table:
+        return pa.table({"vid": self.vids, "label": self.labels})
+
+
+@ray.remote
+class ModeLabelShard(_ShardBase):
+    """Synchronous community label propagation (mode of neighbor labels).
+
+    Pinned deterministic update rule: new label = the smallest label among
+    those with maximal neighbor count; vertices with no neighbors keep their
+    label.  Tie-breaking and synchronous scheduling are pinned so results
+    are reproducible (the reference's community semantics are deterministic
+    too — connected components; this generic LPA is the north-rule addition).
+    """
+
+    def __init__(self, graph_dir: str, part: int, nparts: int):
+        self._load(graph_dir, part, nparts, "edges_und")
+        self.labels = self.vids.copy()
+
+    def restore(self, path: str) -> None:
+        self.labels = self._load_vec(path, "label")
+
+    def compute(self):
+        lab = self.labels[self.src_idx]
+        out = []
+        for q in range(self.nparts):
+            s, e = int(self.qb[q]), int(self.qb[q + 1])
+            if s == e:
+                out.append(None)
+                continue
+            d = self.dst_sorted[s:e]
+            v = lab[s:e]
+            order = np.lexsort((v, d))
+            d, v = d[order], v[order]
+            new_grp = np.r_[True, (d[1:] != d[:-1]) | (v[1:] != v[:-1])]
+            starts = np.flatnonzero(new_grp)
+            counts = np.diff(np.r_[starts, len(d)])
+            out.append((d[starts], v[starts], counts))
+        return (*out, 0)
+
+    def apply(self, msg_refs) -> int:
+        ds, vs, cs = [], [], []
+        for m in ray.get(list(msg_refs)):
+            if m is None:
+                continue
+            ds.append(m[0]); vs.append(m[1]); cs.append(m[2])
+        if not ds:
+            return 0
+        d = np.concatenate(ds); v = np.concatenate(vs); c = np.concatenate(cs)
+        # merge counts for identical (dst, label) across shards
+        order = np.lexsort((v, d))
+        d, v, c = d[order], v[order], c[order]
+        new_grp = np.r_[True, (d[1:] != d[:-1]) | (v[1:] != v[:-1])]
+        gid = np.cumsum(new_grp) - 1
+        cm = np.bincount(gid, weights=c)
+        du, vu = d[new_grp], v[new_grp]
+        # per dst: max count, tie → min label.  Sort (dst asc, count desc,
+        # label asc) and take the first row of each dst run.
+        sel = np.lexsort((vu, -cm, du))
+        du, vu = du[sel], vu[sel]
+        first = np.r_[True, du[1:] != du[:-1]]
+        dst_win, lab_win = du[first], vu[first]
+        idx = np.searchsorted(self.vids, dst_win)
+        changed = self.labels[idx] != lab_win
+        self.labels[idx] = lab_win
+        return int(changed.sum())
+
+    def save(self, path: str) -> None:
+        self._save_vec(path, "label", self.labels)
+
+    def get_table(self) -> pa.Table:
+        return pa.table({"vid": self.vids, "label": self.labels})
