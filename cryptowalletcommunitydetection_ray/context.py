@@ -31,19 +31,42 @@ def default_num_partitions() -> int:
 
 
 def hash64(values) -> np.ndarray:
-    """Deterministic uint64 hash of an array of strings (vectorized).
+    """Deterministic 64-bit hash of an array of strings (vectorized).
 
     Used for url → vid dictionary encoding and for exact-dedup content keys.
+    Returned as **int64** (the same 64 bits reinterpreted): Arrow/pandas
+    shuffle paths and DuckDB (BIGINT) all handle int64 natively, whereas
+    uint64 > 2^63 breaks type promotion in mixed-block concatenation.
     """
     arr = np.asarray(values, dtype=object)
-    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False).view(
+        np.int64
+    )
 
 
 def partition_of(vids: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Owning shard of each vertex id: ``vid % P`` (vids are uniform hashes)."""
-    return (np.asarray(vids, dtype=np.uint64) % np.uint64(num_partitions)).astype(
-        np.int32
-    )
+    """Owning shard of each vertex id: ``uint64(vid) % P`` (uniform bits).
+
+    int64 vids are reinterpreted as uint64 (wrap-around) before the modulo,
+    so negative ids partition uniformly.
+    """
+    u = np.asarray(vids).astype(np.uint64)
+    return (u % np.uint64(num_partitions)).astype(np.int32)
+
+
+def rename_cols(ds, mapping: dict):
+    """Rename Dataset columns via a zero-copy Arrow batch op.
+
+    (``Dataset.rename_columns`` breaks on pandas-format blocks in Ray
+    2.49 — its Project operator calls ``block.rename_columns``, which only
+    exists on Arrow tables.)
+    """
+    import pyarrow as pa
+
+    def _r(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.schema.names])
+
+    return ds.map_batches(_r, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quiet_data_context() -> None:

@@ -1,0 +1,156 @@
+"""Community detection — the reference's core wallet-community semantics.
+
+Re-expresses ``services/wallet_clustering.py:10-65`` (networkx on the
+driver) as a distributed pipeline:
+
+  1. connected components over the (undirected view of the) edge table —
+     ``get_group`` / ``nx.connected_components`` (:12-18);
+  2. per-component bipartite split into "user" members (vertices that
+     appear on the *source* side of any edge — the reference's
+     ``specific_list = df.from_address.unique()``, :53) and "deposit"
+     members (:31-48);
+  3. one output row per community with sorted member lists, sizes
+     ``num_user``/``num_depo`` (:56-58), a ``chain`` tag (:64) and a
+     DETERMINISTIC ``_id`` = min member vid (replacing uuid4 at :33,65 so
+     results are testable);
+  4. optional per-community edge list (``Edges``, :24-25).
+
+In the web re-expression, "user" = source page url and "deposit" = shared
+link-target url/host; the pipeline itself is input-agnostic: any raw edge
+Dataset works (pages outlinks via ``extract_edges``, or a wallet-pairs CSV
+via ``edges_from_pairs``).
+
+Scale notes: member collection is a single ``groupby(label)`` shuffle of
+the (small) vertex table, not of the edge table; the edge-list variant
+reshuffles edges once and is optional.  ``top_communities`` re-expresses the
+reference's Mongo group query + sort (``databases/mongodb.py:259-275``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from .components import connected_components
+from ..context import rename_cols
+from .edges import read_meta
+
+
+def community_members(
+    graph_dir: str,
+    labels: rd.Dataset,
+    *,
+    chain: str = "web",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Join CC labels with vertex attributes and collect one row per
+    community.
+
+    Returns ``(_id: uint64, user_wallets: list<str>, deposit_wallets:
+    list<str>, num_user: int64, num_depo: int64, chain: str)`` with member
+    lists sorted (pinned deterministic order).
+    """
+    meta = read_meta(graph_dir)
+    P = num_partitions or meta["P"]
+
+    verts = rd.read_parquet(f"{graph_dir}/vertices", columns=["vid", "url"])
+    # "user" side = vertices with at least one outgoing edge in the directed
+    # edge table (= appears as src anywhere) — the specific_list semantics.
+    srcs = rd.read_parquet(f"{graph_dir}/edges", columns=["src"])
+
+    def mark_src(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(subset=["src"]).rename(columns={"src": "vid"})
+        out["is_user"] = np.True_
+        return out
+
+    src_flags = srcs.map_batches(mark_src, batch_format="pandas")
+    # dedup the flags (tiny table: one row per distinct src)
+    from ..stages.dedup import exact_dedup
+
+    src_flags = exact_dedup(src_flags, ["vid"], num_partitions=P)
+
+    tagged = verts.join(labels, "inner", P, on=("vid",)).join(
+        src_flags, "left_outer", P, on=("vid",)
+    )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        # the flag column holds True (matched src) or null (left-join miss)
+        is_user = g["is_user"].notna().to_numpy()
+        urls = g["url"].to_numpy()
+        users = sorted(urls[is_user].tolist())
+        depos = sorted(urls[~is_user].tolist())
+        return pd.DataFrame(
+            {
+                "_id": [np.int64(g["label"].iloc[0])],
+                "user_wallets": [users],
+                "deposit_wallets": [depos],
+                "num_user": [len(users)],
+                "num_depo": [len(depos)],
+                "chain": [chain],
+            }
+        )
+
+    return tagged.groupby("label").map_groups(collect, batch_format="pandas")
+
+
+def community_edges(graph_dir: str, labels: rd.Dataset) -> rd.Dataset:
+    """Per-community edge lists (the reference's ``Edges`` column,
+    ``services/wallet_clustering.py:24-25``) — one full edge-table shuffle,
+    hence a separate optional pipeline."""
+    meta = read_meta(graph_dir)
+    P = meta["P"]
+    edges = rd.read_parquet(
+        f"{graph_dir}/edges", columns=["src", "dst", "src_url", "dst_url"]
+    )
+    lab = rename_cols(labels, {"vid": "src"})
+    tagged = edges.join(lab, "inner", P, on=("src",))
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = sorted(zip(g["src_url"].tolist(), g["dst_url"].tolist()))
+        return pd.DataFrame(
+            {"_id": [np.int64(g["label"].iloc[0])], "edges": [pairs]}
+        )
+
+    return tagged.groupby("label").map_groups(collect, batch_format="pandas")
+
+
+def detect_communities(
+    graph_dir: str,
+    *,
+    chain: str = "web",
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> tuple[rd.Dataset, dict]:
+    """End-to-end: CC to fixpoint, then per-community membership rows."""
+    labels, metrics = connected_components(
+        graph_dir,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    return community_members(graph_dir, labels, chain=chain), metrics
+
+
+def top_communities(
+    communities: rd.Dataset,
+    *,
+    min_user: int = 0,
+    min_depo: int = 0,
+    k: int | None = None,
+) -> rd.Dataset:
+    """Filter by member counts and sort desc by num_user (G6 —
+    ``databases/mongodb.py:259-275``)."""
+    import pyarrow.compute as pc
+
+    out = communities.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["num_user"], min_user),
+                pc.greater_equal(t["num_depo"], min_depo),
+            )
+        ),
+        batch_format="pyarrow",
+    ).sort("num_user", descending=True)
+    return out.limit(k) if k is not None else out

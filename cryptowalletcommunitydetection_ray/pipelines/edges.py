@@ -55,8 +55,8 @@ def extract_edges(pages: rd.Dataset, drop_self_links: bool = False) -> rd.Datase
                 dst_urls.append(d)
         return pa.table(
             {
-                "src": pa.array(hash64(src_urls), pa.uint64()),
-                "dst": pa.array(hash64(dst_urls), pa.uint64()),
+                "src": pa.array(hash64(src_urls), pa.int64()),
+                "dst": pa.array(hash64(dst_urls), pa.int64()),
                 "src_url": pa.array(src_urls, pa.string()),
                 "dst_url": pa.array(dst_urls, pa.string()),
             }
@@ -64,6 +64,29 @@ def extract_edges(pages: rd.Dataset, drop_self_links: bool = False) -> rd.Datase
 
     return pages.select_columns(["url", "html"]).map_batches(
         explode, batch_format="pyarrow", batch_size=1024, zero_copy_batch=True
+    )
+
+
+def edges_from_pairs(pairs: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
+    """Raw edge Dataset from a generic two-string-column edge list — the
+    wallet-pairs CSV analog (``cli/export_transactions.py:26``, CSV columns
+    ``x``/``y``).  Values share one namespace (as in the reference, where
+    from/to addresses are all wallet addresses)."""
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[x_col].astype(str).to_numpy()
+        y = df[y_col].astype(str).to_numpy()
+        return pd.DataFrame(
+            {
+                "src": hash64(x),
+                "dst": hash64(y),
+                "src_url": x,
+                "dst_url": y,
+            }
+        )
+
+    return pairs.select_columns([x_col, y_col]).map_batches(
+        to_edges, batch_format="pandas"
     )
 
 
@@ -114,19 +137,19 @@ def _count_rows(path: str) -> int:
     return pads.dataset(path, format="parquet", partitioning="hive").count_rows()
 
 
-def build_graph(
-    pages: rd.Dataset,
+def build_graph_from_edges(
+    raw_edges: rd.Dataset,
     graph_dir: str,
     num_partitions: int = 8,
     *,
     lineage: dict | None = None,
 ) -> dict:
-    """Materialize all graph artifacts; returns the meta dict."""
+    """Materialize all graph artifacts from a raw (src, dst, src_url,
+    dst_url) Dataset; returns the meta dict."""
     os.makedirs(graph_dir, exist_ok=True)
-    # extraction runs exactly ONCE; everything else derives from the written
-    # edge-table parquet (columnar reads of just the needed columns)
-    raw = extract_edges(pages)
-    edges = dedup_edges(raw, num_partitions=num_partitions)
+    # the raw edge stream is consumed exactly ONCE; everything else derives
+    # from the written edge-table parquet (columnar reads of needed columns)
+    edges = dedup_edges(raw_edges, num_partitions=num_partitions)
     _write_partitioned(edges, f"{graph_dir}/edges", "src", num_partitions)
 
     edges_sd = rd.read_parquet(f"{graph_dir}/edges", columns=["src", "dst"])
@@ -164,6 +187,19 @@ def build_graph(
     return meta
 
 
+def build_graph(
+    pages: rd.Dataset,
+    graph_dir: str,
+    num_partitions: int = 8,
+    *,
+    lineage: dict | None = None,
+) -> dict:
+    """pages → extraction → graph artifacts (extraction runs exactly once)."""
+    return build_graph_from_edges(
+        extract_edges(pages), graph_dir, num_partitions, lineage=lineage
+    )
+
+
 def read_meta(graph_dir: str) -> dict:
     with open(f"{graph_dir}/meta.json") as f:
         return json.load(f)
@@ -173,5 +209,5 @@ def read_part(graph_dir: str, artifact: str, part: int, columns=None) -> pa.Tabl
     """Read one hash partition of an artifact (used inside shard actors)."""
     path = f"{graph_dir}/{artifact}/part={part}"
     if not os.path.isdir(path):
-        return pa.table({c: pa.array([], pa.uint64()) for c in (columns or [])})
+        return pa.table({c: pa.array([], pa.int64()) for c in (columns or [])})
     return pq.read_table(path, columns=columns)

@@ -42,8 +42,8 @@ from ..pipelines.edges import read_part
 
 def _col(t: pa.Table, name: str) -> np.ndarray:
     if t.num_rows == 0 or name not in t.schema.names:
-        return np.empty(0, dtype=np.uint64)
-    return np.asarray(t[name].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        return np.empty(0, dtype=np.int64)
+    return np.asarray(t[name].to_numpy(zero_copy_only=False), dtype=np.int64)
 
 
 class _ShardBase:
@@ -59,7 +59,7 @@ class _ShardBase:
         self.vids = np.sort(_col(vt, "vid"))
         self.n_local = len(self.vids)
 
-        dst_part = (dst % np.uint64(nparts)).astype(np.int64)
+        dst_part = (dst.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
         order = np.lexsort((dst, dst_part))
         src_sorted = src[order]
         self.dst_sorted = dst[order]
@@ -73,7 +73,7 @@ class _ShardBase:
         for q in range(nparts):
             s, e = int(self.qb[q]), int(self.qb[q + 1])
             if s == e:
-                self.uniq_dst.append(np.empty(0, dtype=np.uint64))
+                self.uniq_dst.append(np.empty(0, dtype=np.int64))
                 self.n_uniq.append(0)
                 continue
             u, inv = np.unique(self.dst_sorted[s:e], return_inverse=True)
@@ -94,7 +94,7 @@ class _ShardBase:
 
     def _load_vec(self, path: str, name: str) -> np.ndarray:
         t = pq.read_table(path)
-        vids = np.asarray(t["vid"].to_numpy(), dtype=np.uint64)
+        vids = np.asarray(t["vid"].to_numpy(), dtype=np.int64)
         vec = t[name].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(self.vids, vids)
         out = np.empty(self.n_local, dtype=vec.dtype)
