@@ -69,6 +69,56 @@ def rename_cols(ds, mapping: dict):
     return ds.map_batches(_r, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def enforce_schema(ds, schema):
+    """Force every block to a fixed Arrow schema.
+
+    Ray 2.49 groupby/aggregate and map_groups emit ZERO-COLUMN empty Arrow
+    tables for empty hash partitions; such blocks crash downstream
+    ``Dataset.join`` ("No match ... for key field").  This stage rewrites
+    empty blocks as ``schema.empty_table()`` and column-orders/casts the
+    rest.
+    """
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return schema.empty_table()
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sanitize_for_join(ds, schema):
+    """Rebuild a Dataset from its non-empty blocks, schema-enforced.
+
+    Ray 2.49's groupby/aggregate and map_groups emit ZERO-COLUMN empty
+    blocks for empty hash partitions, and ``map_batches`` never invokes the
+    UDF on an empty block — so such blocks flow through untouched and crash
+    ``Dataset.join`` ("No match ... for key field").  This helper executes
+    the upstream plan (a join is an all-to-all barrier anyway), drops empty
+    blocks, and re-wraps the rest.  Use it on any join input that came out
+    of a groupby.
+    """
+    import ray
+    import ray.data as rd
+
+    refs = []
+    for rb in ds.iter_internal_ref_bundles():
+        for br, meta in zip(rb.block_refs, rb.metadata):
+            if meta.num_rows:
+                refs.append(br)
+    if not refs:
+        return rd.from_arrow(schema.empty_table())
+    import pandas as pd
+
+    first = ray.get(refs[0])
+    if isinstance(first, pd.DataFrame):
+        out = rd.from_pandas_refs(refs)
+    else:
+        out = rd.from_arrow_refs(refs)
+    return enforce_schema(out, schema)
+
+
 def quiet_data_context() -> None:
     """Make Ray Data quiet and streaming-friendly for tests/benchmarks."""
     from ray.data import DataContext

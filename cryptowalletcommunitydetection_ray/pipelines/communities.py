@@ -33,7 +33,7 @@ import pandas as pd
 import ray.data as rd
 
 from .components import connected_components
-from ..context import rename_cols
+from ..context import enforce_schema, rename_cols
 from .edges import read_meta
 
 
@@ -54,29 +54,16 @@ def community_members(
     meta = read_meta(graph_dir)
     P = num_partitions or meta["P"]
 
-    verts = rd.read_parquet(f"{graph_dir}/vertices", columns=["vid", "url"])
-    # "user" side = vertices with at least one outgoing edge in the directed
-    # edge table (= appears as src anywhere) — the specific_list semantics.
-    srcs = rd.read_parquet(f"{graph_dir}/edges", columns=["src"])
-
-    def mark_src(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop_duplicates(subset=["src"]).rename(columns={"src": "vid"})
-        out["is_user"] = np.True_
-        return out
-
-    src_flags = srcs.map_batches(mark_src, batch_format="pandas")
-    # dedup the flags (tiny table: one row per distinct src)
-    from ..stages.dedup import exact_dedup
-
-    src_flags = exact_dedup(src_flags, ["vid"], num_partitions=P)
-
-    tagged = verts.join(labels, "inner", P, on=("vid",)).join(
-        src_flags, "left_outer", P, on=("vid",)
+    # the "user" side flag (appears in the distinct-src list —
+    # wallet_clustering.py:53) is a build-time vertex attribute, so community
+    # collection needs exactly ONE hash join (labels onto vertices)
+    verts = rd.read_parquet(
+        f"{graph_dir}/vertices", columns=["vid", "url", "is_user"]
     )
+    tagged = verts.join(labels, "inner", P, on=("vid",))
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
-        # the flag column holds True (matched src) or null (left-join miss)
-        is_user = g["is_user"].notna().to_numpy()
+        is_user = g["is_user"].to_numpy(dtype=bool)
         urls = g["url"].to_numpy()
         users = sorted(urls[is_user].tolist())
         depos = sorted(urls[~is_user].tolist())

@@ -95,25 +95,41 @@ def dedup_edges(raw_edges: rd.Dataset, num_partitions: int = 64) -> rd.Dataset:
     return exact_dedup(raw_edges, ["src", "dst"], num_partitions=num_partitions)
 
 
-def _side(df: pd.DataFrame, vid: str, url: str) -> pd.DataFrame:
-    return pd.DataFrame({"vid": df[vid].to_numpy(), "url": df[url].to_numpy()})
+def _side(df: pd.DataFrame, vid: str, url: str, rank: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "vid": df[vid].to_numpy(),
+            "url": df[url].to_numpy(),
+            # 0 = appeared as src, 1 = as dst; dedup keeps the min, so any
+            # vertex with at least one outgoing edge ends with side_rank 0
+            "side_rank": np.full(len(df), rank, dtype=np.int8),
+        }
+    )
 
 
 def _vertices_from_edges(edge_table: rd.Dataset, num_partitions: int) -> rd.Dataset:
     srcs = edge_table.map_batches(
-        lambda df: _side(df, "src", "src_url"), batch_format="pandas"
+        lambda df: _side(df, "src", "src_url", 0), batch_format="pandas"
     )
     dsts = edge_table.map_batches(
-        lambda df: _side(df, "dst", "dst_url"), batch_format="pandas"
+        lambda df: _side(df, "dst", "dst_url", 1), batch_format="pandas"
     )
-    verts = exact_dedup(srcs.union(dsts), ["vid"], num_partitions=num_partitions)
+    verts = exact_dedup(
+        srcs.union(dsts),
+        ["vid"],
+        num_partitions=num_partitions,
+        keep_order_col="side_rank",
+    )
 
-    def add_host(df: pd.DataFrame) -> pd.DataFrame:
+    def add_attrs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["host"] = [host_of(u) for u in df["url"]]
-        return df
+        # "user" side of the reference's bipartite split: has an out-edge
+        # (appears in the distinct-src list, wallet_clustering.py:53)
+        df["is_user"] = df["side_rank"].to_numpy() == 0
+        return df.drop(columns=["side_rank"])
 
-    return verts.map_batches(add_host, batch_format="pandas")
+    return verts.map_batches(add_attrs, batch_format="pandas")
 
 
 def _write_partitioned(

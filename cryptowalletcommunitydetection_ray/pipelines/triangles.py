@@ -28,7 +28,7 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from ..context import rename_cols
+from ..context import enforce_schema, rename_cols, sanitize_for_join
 from .edges import read_meta
 
 _PART = "__part"
@@ -51,10 +51,13 @@ def _degree_census(canon: rd.Dataset) -> rd.Dataset:
         u, c = np.unique(both, return_counts=True)
         return pd.DataFrame({"vid": u, "partial": c.astype(np.int64)})
 
-    return (
+    import pyarrow as pa
+
+    return sanitize_for_join(
         canon.map_batches(partial, batch_format="pandas")
         .groupby("vid")
-        .aggregate(Sum("partial", alias_name="deg"))
+        .aggregate(Sum("partial", alias_name="deg")),
+        pa.schema([("vid", pa.int64()), ("deg", pa.int64())]),
     )
 
 
@@ -104,7 +107,12 @@ def triangle_counts(
             }
         )
 
-    wedge_ds = oriented.groupby(_PART).map_groups(wedges, batch_format="pandas")
+    import pyarrow as pa
+
+    wedge_ds = sanitize_for_join(
+        oriented.groupby(_PART).map_groups(wedges, batch_format="pandas"),
+        pa.schema([("apex", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]),
+    )
 
     closing = rename_cols(canon, {"src": "x", "dst": "y"})
     tris = wedge_ds.join(closing, "inner", P, on=("x", "y"))
@@ -116,19 +124,27 @@ def triangle_counts(
         u, c = np.unique(vids, return_counts=True)
         return pd.DataFrame({"vid": u, "partial": c.astype(np.int64)})
 
-    counts = (
+    counts = enforce_schema(
         tris.map_batches(corners, batch_format="pandas")
         .groupby("vid")
-        .aggregate(Sum("partial", alias_name="triangles"))
+        .aggregate(Sum("partial", alias_name="triangles")),
+        pa.schema([("vid", pa.int64()), ("triangles", pa.int64())]),
     )
 
+    # zero-fill triangle-free vertices via union + groupby-sum (a left-outer
+    # join on sparse partitions trips a Ray 2.49 empty-partition join bug)
     verts = rd.read_parquet(f"{graph_dir}/vertices", columns=["vid"])
-    out = verts.join(counts, "left_outer", P, on=("vid",))
-
-    def fill(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["triangles"] = df["triangles"].fillna(0).astype(np.int64)
-        return df
-
-    result = out.map_batches(fill, batch_format="pandas")
+    zeros = verts.map_batches(
+        lambda t: pa.table(
+            {"vid": t["vid"], "triangles": pa.array(np.zeros(t.num_rows, np.int64))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    result = enforce_schema(
+        zeros.union(counts)
+        .groupby("vid")
+        .aggregate(Sum("triangles", alias_name="triangles")),
+        pa.schema([("vid", pa.int64()), ("triangles", pa.int64())]),
+    )
     return result, {"algorithm": "triangles", "P": P}

@@ -1,0 +1,69 @@
+"""Community semantics vs reference behavior (CC + user/deposit split,
+sizes, deterministic ids, top-k query) — mirrors
+``/root/reference/services/wallet_clustering.py:10-65`` run on the pairs
+fixture (with deterministic ids substituted for uuid4)."""
+
+import networkx as nx
+import pyarrow.dataset as pads
+
+from cryptowalletcommunitydetection_ray.pipelines.communities import (
+    community_edges,
+    detect_communities,
+    top_communities,
+)
+
+
+def _oracle(pairs):
+    """Reference semantics: undirected CC over the pair graph; per component
+    user = appears in the x column, deposit = the rest; sorted lists."""
+    g = nx.Graph()
+    g.add_edges_from(zip(pairs["x"], pairs["y"]))
+    users_set = set(pairs["x"])
+    out = {}
+    for comp in nx.connected_components(g):
+        users = sorted(u for u in comp if u in users_set)
+        depos = sorted(u for u in comp if u not in users_set)
+        out[frozenset(comp)] = (users, depos)
+    return out
+
+
+def test_membership_and_sizes(pairs_graph):
+    d, pairs = pairs_graph
+    comms, _ = detect_communities(d, chain="testchain")
+    cdf = comms.to_pandas()
+    want = _oracle(pairs)
+    assert len(cdf) == len(want)
+    verts = (
+        pads.dataset(f"{d}/vertices", partitioning="hive")
+        .to_table()
+        .to_pandas()
+        .set_index("url")["vid"]
+    )
+    for comp, (users, depos) in want.items():
+        cid = min(verts[u] for u in comp)
+        row = cdf[cdf["_id"] == cid].iloc[0]
+        assert list(row["user_wallets"]) == users
+        assert list(row["deposit_wallets"]) == depos
+        assert row["num_user"] == len(users)
+        assert row["num_depo"] == len(depos)
+        assert row["chain"] == "testchain"
+
+
+def test_top_communities_query(pairs_graph):
+    d, _ = pairs_graph
+    comms, _ = detect_communities(d)
+    top = top_communities(comms, min_user=2, min_depo=1, k=2).to_pandas()
+    assert list(top["num_user"]) == sorted(top["num_user"], reverse=True)
+    assert (top["num_user"] >= 2).all() and (top["num_depo"] >= 1).all()
+
+
+def test_community_edges(pairs_graph):
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
+    )
+
+    d, pairs = pairs_graph
+    labels, _ = connected_components(d)
+    ce = community_edges(d, labels).to_pandas()
+    total = sum(len(e) for e in ce["edges"])
+    assert total == len(pairs.drop_duplicates())

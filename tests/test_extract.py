@@ -1,0 +1,98 @@
+"""Pinned-extractor contract tests (byte-identical text, outlink edge cases)."""
+
+import numpy as np
+
+from cryptowalletcommunitydetection_ray.functions.extract import (
+    extract_links,
+    extract_text,
+    host_of,
+    normalize_url,
+)
+
+
+def test_text_strips_script_style_tags():
+    html = (
+        b"<html><head><style>b{x}</style><script>var a=1;</script></head>"
+        b"<body><h1>Hello</h1><p>world  now</p></body></html>"
+    )
+    assert extract_text(html) == "Hello world now"
+
+
+def test_text_empty_html():
+    assert extract_text(b"") == ""
+
+
+def test_text_non_utf8_replacement():
+    out = extract_text(b"<p>a\xff\xfeb</p>")
+    assert out == "a��b"
+
+
+def test_text_no_entity_decoding():
+    assert extract_text(b"<p>a&amp;b</p>") == "a&amp;b"
+
+
+def test_links_basic_and_duplicates_preserved():
+    html = (
+        b'<a href="http://h.example/a">x</a>'
+        b"<a href='http://h.example/a'>y</a>"
+        b"<a href=http://h.example/b>z</a>"
+    )
+    assert extract_links(html, "http://base.example/") == [
+        "http://h.example/a",
+        "http://h.example/a",
+        "http://h.example/b",
+    ]
+
+
+def test_links_relative_resolution_and_fragment():
+    html = b'<a href="/p1#frag">x</a><a href="p2?q=1">y</a>'
+    assert extract_links(html, "http://base.example/dir/page") == [
+        "http://base.example/p1",
+        "http://base.example/dir/p2?q=1",
+    ]
+
+
+def test_links_skip_non_http():
+    html = (
+        b'<a href="javascript:void(0)">x</a><a href="mailto:a@b.c">y</a>'
+        b'<a href="#top">z</a><a href="ftp://h/x">w</a><a href="">e</a>'
+    )
+    assert extract_links(html, "http://base.example/") == []
+
+
+def test_links_case_normalization():
+    html = b'<a href="HTTP://HOST.Example/Path">x</a>'
+    assert extract_links(html, "http://b.example/") == ["http://host.example/Path"]
+
+
+def test_normalize_url_and_host():
+    assert normalize_url("HTTP://A.Example#f") == "http://a.example/"
+    assert host_of("http://A.example/p") == "a.example"
+
+
+def test_corpus_text_column_byte_identical(ray_session):
+    """The engine extraction over html must reproduce the corpus text column
+    byte-for-byte, per url (the north-rule invariant)."""
+    from cryptowalletcommunitydetection_ray.sources.pages import synth_pages
+
+    rows = synth_pages(50, seed=42).take_all()
+    assert len(rows) == 50
+    for r in rows:
+        assert extract_text(r["html"]) == r["text"], r["url"]
+
+
+def test_corpus_edge_case_rows(ray_session):
+    from cryptowalletcommunitydetection_ray.sources.pages import synth_pages
+
+    rows = sorted(synth_pages(50, seed=42).take_all(), key=lambda r: r["warc_ts"])
+    # row 0: no links
+    assert extract_links(rows[0]["html"], rows[0]["url"]) == []
+    # row 1: duplicate links present
+    links1 = extract_links(rows[1]["html"], rows[1]["url"])
+    assert len(links1) != len(set(links1))
+    # row 2: self link present
+    links2 = extract_links(rows[2]["html"], normalize_url(rows[2]["url"]))
+    assert normalize_url(rows[2]["url"]) in links2
+    # row 3: html not valid utf-8, but extraction still works
+    assert "�" in rows[3]["text"]
+    np.testing.assert_equal(extract_text(rows[3]["html"]), rows[3]["text"])
