@@ -1,44 +1,831 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship link-graph pipeline (synthetic pages →
+extraction → edge table → PageRank) at sf0.001 scale.  ``queries()`` exposes
+one callable per implemented operator/pipeline from SURVEY.md §2 over the
+driver-generated parquet tables in ``sf_dir``; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query (graph kernels over
+hashed-url pages, sketch-based dedup, language-ID, fingerprints and the
+multimodal stages are non-SQL-expressible → rows-only checks; their
+correctness gates live in ``tests/`` against networkx / pure-python
+oracles).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from cryptowalletcommunitydetection_ray.context import quiet_data_context
+
+_CACHE = "/tmp/cwcd_ray_cache"
+_P = 8  # fixed partition count for reproducible artifacts
+
+_STOP_EVENT_USERS = [1, 2, 3, 5, 8]
+
+
+def _t(sf_dir: str, name: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def _pages_count(sf_dir: str) -> int:
+    tag = _sf_tag(sf_dir)
+    return {"sf0_001": 300, "sf0_01": 3000, "sf0_1": 30000}.get(tag, 3000)
+
+
+def _pages_graph(sf_dir: str) -> str:
+    """Build (once) and return the graph artifacts for the synthetic pages
+    corpus sized to this sf."""
+    from cryptowalletcommunitydetection_ray.pipelines.edges import build_graph
+    from cryptowalletcommunitydetection_ray.sources.pages import synth_pages
+
+    quiet_data_context()
+    n = _pages_count(sf_dir)
+    d = f"{_CACHE}/pages_{n}_P{_P}"
+    if not os.path.exists(f"{d}/meta.json"):
+        build_graph(
+            synth_pages(n, seed=42),
+            d,
+            num_partitions=_P,
+            lineage={"source": "synth_pages", "n_pages": n, "seed": 42},
+        )
+    return d
+
+
+def _star_graph(sf_dir: str) -> str:
+    """customer→nation→region star-chain graph with arithmetic vids
+    (4c+3 → 4n+1 → 4r) — components = regions, SQL-reproducible."""
+    from cryptowalletcommunitydetection_ray.pipelines.edges import (
+        build_graph_from_edges,
+        edges_from_vid_pairs,
+    )
+
+    quiet_data_context()
+    d = f"{_CACHE}/star_{_sf_tag(sf_dir)}_P4"
+    if not os.path.exists(f"{d}/meta.json"):
+        cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "s": 4 * df["c_custkey"].to_numpy().astype(np.int64) + 3,
+                    "d": 4 * df["c_nationkey"].to_numpy().astype(np.int64) + 1,
+                }
+            ),
+            batch_format="pandas",
+        )
+        nat = _t(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "s": 4 * df["n_nationkey"].to_numpy().astype(np.int64) + 1,
+                    "d": 4 * df["n_regionkey"].to_numpy().astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+        build_graph_from_edges(
+            edges_from_vid_pairs(cust.union(nat), "s", "d"), d, 4,
+            lineage={"source": "customer-nation-region star", "sf": sf_dir},
+        )
+    return d
+
+
+def _copurchase_graph(sf_dir: str) -> str:
+    """Parts co-occurring in the same order (lineitem self-pairs within
+    order groups) — vids are the part keys themselves."""
+    from cryptowalletcommunitydetection_ray.pipelines.edges import (
+        build_graph_from_edges,
+        edges_from_vid_pairs,
+    )
+
+    quiet_data_context()
+    d = f"{_CACHE}/copurchase_{_sf_tag(sf_dir)}_P4"
+    if not os.path.exists(f"{d}/meta.json"):
+        li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            ps = np.unique(g["l_partkey"].to_numpy().astype(np.int64))
+            if len(ps) < 2:
+                return pd.DataFrame(
+                    {"x": np.array([], np.int64), "y": np.array([], np.int64)}
+                )
+            ii, jj = np.triu_indices(len(ps), k=1)
+            return pd.DataFrame({"x": ps[ii], "y": ps[jj]})
+
+        pair_ds = li.groupby("l_orderkey").map_groups(pairs, batch_format="pandas")
+        build_graph_from_edges(
+            edges_from_vid_pairs(pair_ds, "x", "y"), d, 4,
+            lineage={"source": "lineitem co-purchase", "sf": sf_dir},
+        )
+    return d
+
+
+
+
+def _scale_int(t, col, out_col, factor):
+    """DOUBLE → scaled BIGINT fixed-point (hash-exact across engines: the
+    true value × factor is an integer, float error ≪ 0.5)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    scaled = pc.cast(pc.round(pc.multiply(t[col], float(factor))), pa.int64())
+    idx = t.schema.get_field_index(col)
+    return t.set_column(idx, out_col, scaled).rename_columns(
+        [out_col if c == col else c for c in [f.name for f in t.schema]]
+    )
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def _q_filter_events(sf_dir):
+    import pyarrow.compute as pc
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+    return ev.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t["event_type"], "click"), pc.greater(t["value"], 100.0))
+        ).select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_semi_join_events(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import semi_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    return semi_join(ev, "user_id", _STOP_EVENT_USERS)
+
+
+def _q_anti_join_customers(sf_dir):
+    import pyarrow.compute as pc
+
+    from cryptowalletcommunitydetection_ray.stages.relational import semi_join
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    big_spenders = (
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .unique("o_custkey")
+    )
+    return semi_join(cust, "c_custkey", big_spenders, negate=True)
+
+
+def _q_distinct_purchasers(sf_dir):
+    import pyarrow.compute as pc
+
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        grouped_distinct,
+    )
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_distinct(purchases, "user_id")
+
+
+def _q_minmax_orders(sf_dir):
+    from ray.data.aggregate import Count, Max, Min
+
+    row = _t(sf_dir, "orders", ["o_totalprice"]).aggregate(
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Count(alias_name="n_orders"),
+    )
+    return pd.DataFrame([row])
+
+
+def _q_count_window_events(sf_dir):
+    import pyarrow.compute as pc
+
+    lo = pd.Timestamp("2024-01-05").value // 1000  # µs
+    hi = pd.Timestamp("2024-01-12").value // 1000
+    ev = _t(sf_dir, "events", ["ts"])
+    n = ev.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(pc.cast(t["ts"], "int64"), lo),
+                pc.less(pc.cast(t["ts"], "int64"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).count()
+    return pd.DataFrame({"n": [np.int64(n)]})
+
+
+def _q_user_event_tags(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        set_union_groupby,
+    )
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    return set_union_groupby(ev, "user_id", "event_type", out_col="tags")
+
+
+def _q_hourly_windows(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import window_bucket
+
+    ev = _t(sf_dir, "events", ["ts", "value"])
+    out = window_bucket(ev, "ts", 3600, value_col="value")
+    return out.map_batches(
+        lambda t: _scale_int(t, "sum_value", "sum_value_e2", 100),
+        batch_format="pyarrow",
+    )
+
+
+def _q_top_spenders(sf_dir):
+    from ray.data.aggregate import Sum
+
+    ev = _t(sf_dir, "events", ["user_id", "value"])
+    totals = ev.groupby("user_id").aggregate(Sum("value", alias_name="total_value"))
+    scaled = totals.map_batches(
+        lambda t: _scale_int(t, "total_value", "total_value_e2", 100),
+        batch_format="pyarrow",
+    )
+    return scaled.sort(["total_value_e2", "user_id"], descending=[True, False]).limit(
+        10
+    )
+
+
+def _q_brand_revenue(sf_dir):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        broadcast_dim_join,
+    )
+
+    li = _t(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "revenue",
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+        ).select(["l_partkey", "revenue"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    part_dim = pd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).rename(columns={"p_partkey": "l_partkey"})
+    joined = broadcast_dim_join(li, part_dim, "l_partkey", ["p_brand"])
+    out = joined.groupby("p_brand").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n_items")
+    )
+    return out.map_batches(
+        lambda t: _scale_int(t, "revenue", "revenue_e4", 10000),
+        batch_format="pyarrow",
+    )
+
+
+def _q_q1_pricing(sf_dir):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    li = _t(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "disc_price",
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="count_order"),
+    )
+
+    def scale_cols(t):
+        t = _scale_int(t, "sum_qty", "sum_qty_e2", 100)
+        t = _scale_int(t, "sum_base_price", "sum_base_price_e2", 100)
+        t = _scale_int(t, "sum_disc_price", "sum_disc_price_e4", 10000)
+        return t
+
+    return out.map_batches(scale_cols, batch_format="pyarrow")
+
+
+def _q_source_counts(sf_dir):
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    docs = _t(sf_dir, "documents", ["source"]).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("source"),
+            "source",
+            pc.utf8_lower(t["source"]),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return docs.groupby("source").aggregate(Count(alias_name="n_docs"))
+
+
+def _q_events_dedup_first(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import dedup_first
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = dedup_first(ev, ["user_id", "event_type"], "event_id")
+    return out.map_batches(
+        lambda df: df.rename(columns={"event_id": "first_event_id"})[
+            ["user_id", "event_type", "first_event_id"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def _q_sessionize_users(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import sessionize
+
+    return sessionize(_t(sf_dir, "events", ["user_id", "ts"]), gap_s=1800)
+
+
+def _q_last_event_per_user(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import last_per_key
+
+    ev = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = last_per_key(ev, "user_id", ["ts", "event_id"], ["value"])
+    return out.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "user_id": df["user_id"].to_numpy(),
+                "last_event_id": df["event_id"].to_numpy(),
+                "last_value": df["value"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_doc_token_stats(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.text import token_counts
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    counts = token_counts(docs)
+    return counts.map_batches(
+        lambda df: df[["doc_id", "n_ws_tokens"]], batch_format="pandas"
+    )
+
+
+def _q_doc_quality(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.text import quality_stats
+
+    out = quality_stats(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return out.map_batches(
+        lambda df: df[
+            ["doc_id", "n_chars", "punct_ratio", "digit_ratio", "space_ratio"]
+        ],
+        batch_format="pandas",
+    )
+
+
+def _q_exact_dedup_docs(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.dedup import exact_dedup
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def key_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("text")["doc_id"]
+            .agg(["min", "size"])
+            .reset_index(drop=True)
+            .rename(columns={"min": "keep_id", "size": "n_copies"})
+        )
+        out["n_copies"] = out["n_copies"].astype(np.int64)
+        return out
+
+    # hash-partition by text, then one vectorized per-partition groupby
+    from cryptowalletcommunitydetection_ray.context import hash64
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (
+            hash64(df["text"].to_numpy()).astype(np.uint64) % np.uint64(16)
+        ).astype(np.int32)
+        return df
+
+    return (
+        docs.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(key_counts, batch_format="pandas")
+    )
+
+
+def _q_cc_region_star(sf_dir):
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
+    )
+
+    labels, _ = connected_components(_star_graph(sf_dir))
+    return labels
+
+
+def _q_triangles_copurchase(sf_dir):
+    from cryptowalletcommunitydetection_ray.pipelines.triangles import (
+        triangle_counts,
+    )
+
+    tri, _ = triangle_counts(_copurchase_graph(sf_dir))
+    return tri
+
+
+def _q_ann_topk(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.ann import topk_cosine
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qids = [0, 1, 2, 3, 4]
+    return topk_cosine(emb, qids, k=10)
+
+
+def _q_embed_neardup(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.ann import neardup_pairs_cosine
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return neardup_pairs_cosine(emb, threshold=0.4)
+
+
+# ---- rows-only (non-SQL-expressible) -------------------------------------
+
+
+def _q_pagerank_pages(sf_dir):
+    from cryptowalletcommunitydetection_ray.pipelines.pagerank import pagerank
+
+    ranks, _ = pagerank(_pages_graph(sf_dir), tol=1e-12)
+    return ranks
+
+
+def _q_cc_pages(sf_dir):
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
+    )
+
+    labels, _ = connected_components(_pages_graph(sf_dir))
+    return labels
+
+
+def _q_communities_pages(sf_dir):
+    from cryptowalletcommunitydetection_ray.pipelines.communities import (
+        detect_communities,
+    )
+
+    comms, _ = detect_communities(_pages_graph(sf_dir), chain="web")
+    return comms.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "_id": df["_id"].to_numpy(),
+                "num_user": df["num_user"].to_numpy(),
+                "num_depo": df["num_depo"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_triangles_pages(sf_dir):
+    from cryptowalletcommunitydetection_ray.pipelines.triangles import (
+        triangle_counts,
+    )
+
+    tri, _ = triangle_counts(_pages_graph(sf_dir))
+    return tri
+
+
+def _q_labelprop_pages(sf_dir):
+    from cryptowalletcommunitydetection_ray.pipelines.labelprop import (
+        label_propagation,
+    )
+
+    labels, _ = label_propagation(_pages_graph(sf_dir), max_iter=10)
+    return labels
+
+
+def _q_minhash_dedup(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.dedup import minhash_dedup_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def _q_simhash_pairs(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.dedup import simhash_dedup_pairs
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup_pairs(docs, max_hamming=3)
+
+
+def _q_doc_langid(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.text import language_id
+
+    return language_id(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_doc_fingerprints(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.text import fingerprints
+
+    return fingerprints(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_bpe_token_counts(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.text import token_counts
+
+    return token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_multimodal_features(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.multimodal import (
+        attach_fake_payloads,
+        extract_features,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    feats = extract_features(attach_fake_payloads(docs))
+    return feats.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "id": df["id"].to_numpy(),
+                "n_bytes": df["n_bytes"].to_numpy(),
+                "feat_mean": np.round(
+                    [float(np.mean(f)) for f in df["features"]], 6
+                ),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_lsh_neardup_cosine(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.ann import (
+        lsh_neardup_pairs_cosine,
+    )
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_neardup_pairs_cosine(emb, threshold=0.4, dim=64, n_bits=8)
+
+
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages → extract → dedup edges → CSR shards → PageRank."""
+    quiet_data_context()
+    sf_dir = "/root/testdata/sf0.001"
+    ranks = _q_pagerank_pages(sf_dir)
+    return ranks
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational surface (SURVEY §2.1/2.3/2.5/2.6/2.8/2.9/2.10)
+        "filter_events": _q_filter_events,
+        "semi_join_events": _q_semi_join_events,
+        "anti_join_customers": _q_anti_join_customers,
+        "distinct_purchasers": _q_distinct_purchasers,
+        "minmax_orders": _q_minmax_orders,
+        "count_window_events": _q_count_window_events,
+        "user_event_tags": _q_user_event_tags,
+        "hourly_windows": _q_hourly_windows,
+        "top_spenders": _q_top_spenders,
+        "brand_revenue": _q_brand_revenue,
+        "q1_pricing": _q_q1_pricing,
+        "source_counts": _q_source_counts,
+        "events_dedup_first": _q_events_dedup_first,
+        "sessionize_users": _q_sessionize_users,
+        "last_event_per_user": _q_last_event_per_user,
+        # text / dedup over documents
+        "doc_token_stats": _q_doc_token_stats,
+        "doc_quality": _q_doc_quality,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_pairs": _q_simhash_pairs,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "bpe_token_counts": _q_bpe_token_counts,
+        # similarity search over embeddings
+        "ann_topk": _q_ann_topk,
+        "embed_neardup": _q_embed_neardup,
+        "lsh_neardup_cosine": _q_lsh_neardup_cosine,
+        # graph kernels (SQL-checkable derived graphs)
+        "cc_region_star": _q_cc_region_star,
+        "triangles_copurchase": _q_triangles_copurchase,
+        # graph kernels over the pages corpus (flagship; non-SQL)
+        "pagerank_pages": _q_pagerank_pages,
+        "cc_pages": _q_cc_pages,
+        "communities_pages": _q_communities_pages,
+        "triangles_pages": _q_triangles_pages,
+        "labelprop_pages": _q_labelprop_pages,
+        # multimodal plumbing
+        "multimodal_features": _q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_events": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'click' AND value > 100.0
+        """,
+        "semi_join_events": f"""
+            SELECT event_id, user_id, event_type FROM events
+            WHERE user_id IN ({", ".join(map(str, _STOP_EVENT_USERS))})
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        """,
+        "distinct_purchasers": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "minmax_orders": """
+            SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+                   count(*) AS n_orders
+            FROM orders
+        """,
+        "count_window_events": """
+            SELECT count(*) AS n FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
+        """,
+        "user_event_tags": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS tags,
+                   count(DISTINCT event_type) AS n_distinct
+            FROM events GROUP BY user_id
+        """,
+        "hourly_windows": """
+            SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start_s,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+            FROM events GROUP BY 1
+        """,
+        "top_spenders": """
+            SELECT user_id, CAST(round(sum(value) * 100) AS BIGINT) AS total_value_e2
+            FROM events GROUP BY user_id
+            ORDER BY total_value_e2 DESC, user_id LIMIT 10
+        """,
+        "brand_revenue": """
+            SELECT p_brand,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                        AS BIGINT) AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+                       AS sum_base_price_e2,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
+                        AS BIGINT) AS sum_disc_price_e4,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "source_counts": """
+            SELECT lower(source) AS source, count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "events_dedup_first": """
+            SELECT user_id, event_type, min(event_id) AS first_event_id
+            FROM events GROUP BY user_id, event_type
+        """,
+        "sessionize_users": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+            ), g AS (
+                SELECT user_id, sec,
+                       CASE WHEN lag(sec) OVER w IS NULL
+                                 OR sec - lag(sec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+            ), s AS (
+                SELECT user_id, sec,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(sec) AS start_s, max(sec) AS end_s
+            FROM s GROUP BY user_id, session_id
+        """,
+        "last_event_per_user": """
+            SELECT user_id, event_id AS last_event_id, value AS last_value
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts DESC, event_id DESC) rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "doc_token_stats": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n_ws_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                     round(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                           / length(text)::DOUBLE, 6) END AS punct_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                     round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / length(text)::DOUBLE, 6) END AS digit_ratio,
+                   CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                     round((length(text) - length(replace(text, ' ', '')))
+                           / length(text)::DOUBLE, 6) END AS space_ratio
+            FROM documents
+        """,
+        "exact_dedup_docs": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), s AS (
+                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qe,
+                           CAST(e.embedding AS DOUBLE[])) AS sim_raw
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.qid
+            )
+            SELECT query_id, neighbor_id,
+                   CAST(round(sim_raw * 1000000) AS BIGINT) AS sim_e6,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sim_raw DESC, neighbor_id)
+                        AS BIGINT) AS rnk
+            FROM s QUALIFY rnk <= 10
+        """,
+        "embed_neardup": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   CAST(round(list_cosine_similarity(
+                            CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])) * 1000000)
+                        AS BIGINT) AS sim_e6
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "cc_region_star": """
+            WITH membership AS (
+                SELECT r_regionkey AS comp, 4 * r_regionkey AS vid FROM region
+                UNION ALL
+                SELECT n_regionkey, 4 * n_nationkey + 1 FROM nation
+                UNION ALL
+                SELECT n_regionkey, 4 * c_custkey + 3
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT m.vid, lbl.label
+            FROM membership m
+            JOIN (SELECT comp, min(vid) AS label FROM membership GROUP BY comp) lbl
+              USING (comp)
+        """,
+        "triangles_copurchase": """
+            WITH pairs AS (
+                SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+                                greatest(a.l_partkey, b.l_partkey) AS y
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            ), und AS (
+                SELECT x AS v, y AS w FROM pairs
+                UNION ALL SELECT y, x FROM pairs
+            ), tri AS (
+                SELECT n1.v AS vid, CAST(count(*) / 2 AS BIGINT) AS t
+                FROM und n1
+                JOIN und n2 ON n1.v = n2.v AND n1.w <> n2.w
+                JOIN pairs p ON p.x = least(n1.w, n2.w)
+                            AND p.y = greatest(n1.w, n2.w)
+                GROUP BY n1.v
+            ), verts AS (
+                SELECT x AS vid FROM pairs UNION SELECT y FROM pairs
+            )
+            SELECT v.vid, COALESCE(t.t, 0) AS triangles
+            FROM verts v LEFT JOIN tri t USING (vid)
+        """,
+    }

@@ -1,0 +1,100 @@
+"""Pinned text-analysis functions: tokens, quality, language-ID, fingerprint.
+
+These are the engine's scalar-UDF surface (the analog of the reference's
+parser/scrubber utilities, ``utils/format_utils.py:9-96``), defined over the
+``documents`` table.  Every definition is pinned so the DuckDB oracle SQL can
+reproduce it exactly:
+
+- whitespace tokens: maximal runs of non-whitespace (``\\S+``);
+- BPE-ish tokens: the GPT-2 pre-tokenizer regex (contractions, letter runs,
+  digit runs, punctuation runs, whitespace runs collapse);
+- punctuation: the 32 ASCII punctuation bytes; digits 0-9; uppercase A-Z;
+- ratios are count/len(text) (0.0 for empty text);
+- fingerprint: polynomial rolling hash (base 1000003, mod 2^61-1) over the
+  64-bit hashes of the whitespace tokens;
+- language-ID: argmax of per-language stopword hit counts over lowercased
+  whitespace tokens, ties and zero-hits → "und"/first-by-order.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..context import hash64
+
+WS_TOKEN_RE = re.compile(r"\S+")
+BPE_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+PUNCT_CLASS = r"""[!"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"""
+_PUNCT_RE = re.compile(PUNCT_CLASS)
+_DIGIT_RE = re.compile(r"[0-9]")
+_UPPER_RE = re.compile(r"[A-Z]")
+
+FP_BASE = 1000003
+FP_MOD = (1 << 61) - 1
+
+# tiny pinned stopword lists (deterministic heuristic, not a model)
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "den", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "pas", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "no", "que"},
+    "zh": set(),  # no whitespace-token stopwords; falls through to "und"
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]
+
+
+def ws_token_count(text: str) -> int:
+    return len(WS_TOKEN_RE.findall(text))
+
+
+def bpe_token_count(text: str) -> int:
+    """Count GPT-2-style pre-tokens, excluding pure-whitespace matches."""
+    return sum(1 for m in BPE_RE.finditer(text) if not m.group().isspace())
+
+
+def quality_frame(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized quality stats for a batch of texts (pandas str kernels)."""
+    s = texts.fillna("")
+    n_chars = s.str.len().astype(np.int64)
+    n_tokens = s.str.count(r"\S+").astype(np.int64)
+    denom = n_chars.replace(0, 1).astype(np.float64)
+    return pd.DataFrame(
+        {
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "punct_ratio": (s.str.count(PUNCT_CLASS) / denom).round(6),
+            "digit_ratio": (s.str.count(r"[0-9]") / denom).round(6),
+            "upper_ratio": (s.str.count(r"[A-Z]") / denom).round(6),
+            "space_ratio": (s.str.count(r" ") / denom).round(6),
+        }
+    )
+
+
+def fingerprint(text: str) -> int:
+    """Deterministic document fingerprint: rolling hash of token hashes."""
+    toks = WS_TOKEN_RE.findall(text)
+    if not toks:
+        return 0
+    hs = hash64(np.array(toks, dtype=object)).astype(np.uint64)
+    fp = np.uint64(0)
+    for h in hs:
+        fp = np.uint64((int(fp) * FP_BASE + int(h)) % FP_MOD)
+    return int(fp)
+
+
+def langid(text: str) -> str:
+    """Stopword-hit heuristic; deterministic tie-break by LANG_ORDER."""
+    toks = [t.lower() for t in WS_TOKEN_RE.findall(text)]
+    if not toks:
+        return "und"
+    best_lang, best_hits = "und", 0
+    for lang in LANG_ORDER:
+        hits = sum(1 for t in toks if t in STOPWORDS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang

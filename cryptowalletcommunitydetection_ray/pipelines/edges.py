@@ -90,6 +90,28 @@ def edges_from_pairs(pairs: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
     )
 
 
+def edges_from_vid_pairs(pairs: rd.Dataset, src_col: str, dst_col: str) -> rd.Dataset:
+    """Raw edge Dataset from two INTEGER id columns — vids are the ids
+    themselves (no hashing), so SQL oracles can reproduce labels/counts
+    arithmetically.  Urls are the decimal string forms."""
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].to_numpy().astype(np.int64)
+        d = df[dst_col].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "src": s,
+                "dst": d,
+                "src_url": s.astype(str),
+                "dst_url": d.astype(str),
+            }
+        )
+
+    return pairs.select_columns([src_col, dst_col]).map_batches(
+        to_edges, batch_format="pandas"
+    )
+
+
 def dedup_edges(raw_edges: rd.Dataset, num_partitions: int = 64) -> rd.Dataset:
     """Exact global dedup on (src, dst) — the edge-identity contract (F2)."""
     return exact_dedup(raw_edges, ["src", "dst"], num_partitions=num_partitions)

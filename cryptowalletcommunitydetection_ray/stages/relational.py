@@ -1,0 +1,218 @@
+"""Relational operator surface — the reference's reader/filter/join/agg ops
+(SURVEY.md §2.1/2.3/2.5/2.6) re-expressed as composable Ray Data stages.
+
+Reference analogs are cited per function.  Common design rules:
+- predicates are vectorized Arrow kernels inside ``map_batches`` (never a
+  per-row ``ds.filter(fn)``);
+- small sides are broadcast via ``ray.put`` handles, probed with ``pc.is_in``
+  / pandas merges (J1/J6/J7 — never a shuffle);
+- aggregations are two-phase (per-batch partial, then a small groupby) so
+  hot keys cost O(#batches), not O(#rows) — the skew defense.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def semi_join(ds: rd.Dataset, col: str, values: Sequence, negate: bool = False):
+    """Broadcast semi/anti join vs a value list (S2/S3 ``$in`` readers,
+    M2 hot-wallet exclusion — ``databases/blockchain_etl.py:44-66``,
+    ``jobs/exchange_deposit_wallets_job.py:107-109``)."""
+    vs = pa.array(list(values))
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[col], value_set=vs)
+        if negate:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_distinct(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """Distinct values of one column via local pre-distinct + groupby count
+    (S8 grouped-distinct senders — ``databases/postgresql.py:27-37``)."""
+    from ray.data.aggregate import Count
+
+    pre = ds.select_columns([col]).map_batches(
+        lambda df: df.drop_duplicates(subset=[col]), batch_format="pandas"
+    )
+    agg = pre.groupby(col).aggregate(Count(alias_name="__n"))
+    return agg.select_columns([col])
+
+
+def set_union_groupby(
+    ds: rd.Dataset, key: str, val: str, *, out_col: str = "tags"
+) -> rd.Dataset:
+    """Per key: sorted-distinct values joined with "," + distinct count —
+    the reference's accumulate-then-``$addToSet`` merge semantics (A1/K1,
+    ``jobs/exchange_deposit_wallets_job.py:106-119`` +
+    ``databases/mongodb.py:110-118``).  Two-phase: per-batch partial sets
+    shrink the shuffle; the per-key merge is idempotent (re-runs converge),
+    which is the engine's late-data strategy (§2.10).
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, val]].drop_duplicates()
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(set(g[val].tolist()))
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                out_col: [",".join(str(v) for v in vals)],
+                "n_distinct": [len(vals)],
+            }
+        )
+
+    return (
+        ds.select_columns([key, val])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def window_bucket(
+    ds: rd.Dataset,
+    ts_col: str,
+    width_s: int,
+    keys: Sequence[str] = (),
+    *,
+    value_col: str | None = None,
+) -> rd.Dataset:
+    """Tumbling-window aggregation: ``window_start_s = ⌊epoch_s/width⌋·width``
+    (M11 ``round_timestamp`` — ``utils/time_utils.py:10-14``), grouped by
+    (window, *keys): count + optional value sum (rounded to 6 dp)."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col], pa.int64())  # timestamp[us] → µs since epoch
+        sec = pc.divide(us, 1_000_000)
+        ws = pc.multiply(pc.floor(pc.divide(sec, width_s)), width_s)
+        t = t.append_column("window_start_s", pc.cast(ws, pa.int64()))
+        cols = ["window_start_s", *keys]
+        if value_col:
+            cols.append(value_col)
+        return t.select(cols)
+
+    g = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Count(alias_name="n_events")]
+    if value_col:
+        aggs.append(Sum(value_col, alias_name="sum_value"))
+    out = g.groupby(["window_start_s", *keys]).aggregate(*aggs)
+    if value_col:
+        out = out.map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("sum_value"),
+                "sum_value",
+                pc.round(t["sum_value"], 6),
+            ),
+            batch_format="pyarrow",
+        )
+    return out
+
+
+def dedup_first(
+    ds: rd.Dataset, key_cols: Sequence[str], order_col: str
+) -> rd.Dataset:
+    """Keyed dedup keeping the row with min(order_col) — the composite-key
+    ``_id`` upsert semantics (K4, ``databases/mongodb.py:277-288``)."""
+    from .dedup import exact_dedup
+
+    return exact_dedup(ds, key_cols, num_partitions=16, keep_order_col=order_col)
+
+
+def broadcast_dim_join(
+    ds: rd.Dataset, dim: pd.DataFrame, on: str, dim_cols: Sequence[str]
+):
+    """Broadcast small-dimension hash join (J1/J3 —
+    ``jobs/dex_wallets/export_lp_contracts_job.py:137-146``): the dim table
+    is ``ray.put`` once and probed per batch with a pandas merge."""
+    ref = ray.put(dim[[on, *dim_cols]])
+
+    class Probe:
+        def __init__(self):
+            self.dim = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.dim, on=on, how="inner")
+
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=(1, 4))
+
+
+def sessionize(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> rd.Dataset:
+    """Session windows per user: a new session starts when the gap to the
+    previous event exceeds ``gap_s`` (streaming-shaped op per the guide:
+    partition by key, sort by ts within the group).  Output one row per
+    session: (user_id, session_id, n_events, start_s, end_s)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        sec = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
+        new = np.r_[True, np.diff(sec) > gap_s]
+        sid = np.cumsum(new)
+        out = (
+            pd.DataFrame({"sid": sid, "sec": sec})
+            .groupby("sid")["sec"]
+            .agg(["size", "min", "max"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                user_col: g[user_col].iloc[0],
+                "session_id": out["sid"].astype(np.int64),
+                "n_events": out["size"].astype(np.int64),
+                "start_s": out["min"].astype(np.int64),
+                "end_s": out["max"].astype(np.int64),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col])
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def last_per_key(
+    ds: rd.Dataset, key: str, order_col, value_cols: Sequence[str]
+) -> rd.Dataset:
+    """Latest row per key by (order_col desc, stable) — the reference's
+    sort-desc + limit(1) pattern (S10/S11, ``databases/mongodb.py:51-57,
+    167-174``); per-key as-of endpoint of the change-log semantics (A9)."""
+
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        return g.tail(1)[[key, *order_cols, *value_cols]]
+
+    # local partial: keep only each batch's last row per key (combiner)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_cols, kind="stable")
+        return df.drop_duplicates(subset=[key], keep="last")[
+            [key, *order_cols, *value_cols]
+        ]
+
+    return (
+        ds.select_columns([key, *order_cols, *value_cols])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(pick, batch_format="pandas")
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis stages over the ``documents`` table.
+
+Vectorized ``map_batches`` stages wrapping the pinned functions in
+``functions/textstats.py``; the language-ID stage is an actor pool (the
+stopword tables are its per-actor state, compiled once in ``__init__``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+
+def quality_stats(
+    docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """(doc_id, n_chars, n_tokens, punct_ratio, digit_ratio, upper_ratio)."""
+    from ..functions.textstats import quality_frame
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_frame(df[text_col])
+        out.insert(0, id_col, df[id_col].to_numpy())
+        return out
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+def token_counts(
+    docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace + BPE-ish regex."""
+    from ..functions.textstats import bpe_token_count
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("")
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "n_ws_tokens": s.str.count(r"\S+").astype(np.int64),
+                "n_bpe_tokens": np.array(
+                    [bpe_token_count(t) for t in s], dtype=np.int64
+                ),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas"
+    )
+
+
+class LangIdStage:
+    """Actor-pool language-ID: per-actor stopword index, vectorized scoring.
+
+    Pinned heuristic (``functions/textstats.py:langid``): argmax of
+    stopword-hit counts per language; ties/zero-hits → "und".
+    """
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        from ..functions.textstats import LANG_ORDER, STOPWORDS, WS_TOKEN_RE
+
+        self.text_col, self.id_col = text_col, id_col
+        self.langs = LANG_ORDER
+        self.stop = STOPWORDS
+        self.token_re = WS_TOKEN_RE
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        for t in df[self.text_col].fillna(""):
+            toks = [w.lower() for w in self.token_re.findall(t)]
+            best_lang, best_hits = "und", 0
+            for lang in self.langs:
+                sw = self.stop[lang]
+                hits = sum(1 for w in toks if w in sw)
+                if hits > best_hits:
+                    best_lang, best_hits = lang, hits
+            preds.append(best_lang)
+        return pd.DataFrame(
+            {self.id_col: df[self.id_col].to_numpy(), "lang_pred": preds}
+        )
+
+
+def language_id(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    return docs.select_columns([id_col, text_col]).map_batches(
+        LangIdStage,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, concurrency),
+    )
+
+
+def fingerprints(
+    docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """(doc_id, fingerprint) — rolling-hash document fingerprint."""
+    from ..functions.textstats import fingerprint
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "fingerprint": np.array(
+                    [fingerprint(t) for t in df[text_col].fillna("")],
+                    dtype=np.uint64,
+                ).view(np.int64),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        f, batch_format="pandas"
+    )

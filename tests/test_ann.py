@@ -1,0 +1,78 @@
+"""Similarity search: brute-force top-k and near-dup (exact + LSH)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((5, 16))
+    rows = []
+    vid = 0
+    for c in range(5):
+        for _ in range(10):
+            v = base[c] + 0.05 * rng.standard_normal(16)
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32)})
+            vid += 1
+    return rd.from_pandas(pd.DataFrame(rows)), base
+
+
+def _brute_topk(df, qids, k):
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    out = {}
+    for q in qids:
+        qi = np.flatnonzero(ids == q)[0]
+        sims = M @ M[qi]
+        order = sorted(
+            [(float(-sims[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != q]
+        )[:k]
+        out[q] = [(b, round(-a, 6)) for a, b in order]
+    return out
+
+
+def test_topk_matches_bruteforce(emb_ds):
+    from cryptowalletcommunitydetection_ray.stages.ann import topk_cosine
+
+    ds, _ = emb_ds
+    got = topk_cosine(ds, [0, 10, 20], k=5).to_pandas()
+    want = _brute_topk(ds.to_pandas(), [0, 10, 20], 5)
+    for q, pairs in want.items():
+        sub = got[got["query_id"] == q].sort_values("rnk")
+        assert [int(x) for x in sub["neighbor_id"]] == [p[0] for p in pairs]
+        assert np.allclose(
+            sub["sim_e6"].to_numpy() / 1e6, [p[1] for p in pairs], atol=2e-6
+        )
+
+
+def test_neardup_exact_pairs(emb_ds):
+    from cryptowalletcommunitydetection_ray.stages.ann import neardup_pairs_cosine
+
+    ds, _ = emb_ds
+    pairs = neardup_pairs_cosine(ds, threshold=0.98).to_pandas()
+    # same-cluster vectors are near-identical; cross-cluster are not
+    assert len(pairs) > 0
+    assert (pairs["a_id"] // 10 == pairs["b_id"] // 10).all()
+    assert (pairs["a_id"] < pairs["b_id"]).all()
+
+
+def test_lsh_neardup_recall(emb_ds):
+    from cryptowalletcommunitydetection_ray.stages.ann import (
+        lsh_neardup_pairs_cosine,
+        neardup_pairs_cosine,
+    )
+
+    ds, _ = emb_ds
+    exact = neardup_pairs_cosine(ds, threshold=0.98).to_pandas()
+    approx = lsh_neardup_pairs_cosine(ds, threshold=0.98, dim=16, n_bits=4).to_pandas()
+    # precision exact (candidates verified with true cosine)
+    ex = set(zip(exact["a_id"], exact["b_id"]))
+    ap = set(zip(approx["a_id"], approx["b_id"]))
+    assert ap <= ex
+    # near-identical vectors collide in a 4-bit hyperplane code: high recall
+    assert len(ap) >= 0.5 * len(ex)

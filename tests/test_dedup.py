@@ -1,0 +1,97 @@
+"""Exact and near-duplicate detection stages."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cryptowalletcommunitydetection_ray.functions.hashes import (
+    hamming64,
+    jaccard,
+    minhash_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+
+
+def test_shingles_and_jaccard():
+    a = shingle_hashes("a b c d e", k=3)
+    b = shingle_hashes("a b c d e", k=3)
+    assert np.array_equal(a, b)
+    assert jaccard(a, b) == 1.0
+    c = shingle_hashes("x y z w v", k=3)
+    assert jaccard(a, c) == 0.0
+    assert len(shingle_hashes("a b", k=3)) == 1  # short text → one shingle
+    assert len(shingle_hashes("", k=3)) == 0
+
+
+def test_minhash_estimates_jaccard():
+    a_p, b_p = minhash_params(256)
+    s1 = shingle_hashes(" ".join(f"w{i}" for i in range(100)), k=3)
+    s2 = shingle_hashes(" ".join(f"w{i}" for i in range(80)), k=3)
+    true_j = jaccard(s1, s2)
+    sig1 = minhash_signature(s1, a_p, b_p)
+    sig2 = minhash_signature(s2, a_p, b_p)
+    est = (sig1 == sig2).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_similar_texts_close():
+    base = " ".join(f"tok{i}" for i in range(60))
+    h1 = simhash64(base)
+    h2 = simhash64(base + " extra")
+    h3 = simhash64(" ".join(f"other{i}" for i in range(60)))
+    assert hamming64(h1, h2) < hamming64(h1, h3)
+    assert simhash64(base) == h1  # deterministic
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    import ray.data as rd
+
+    words = [f"w{i}" for i in range(50)]
+    base = " ".join(words)
+    near = " ".join(words[:-2] + ["zz", "qq"])  # high jaccard vs base
+    other = [" ".join(f"u{i}_{j}" for i in range(40)) for j in range(20)]
+    texts = [base, near, *other]
+    return rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+
+def test_minhash_lsh_finds_planted_pair(dup_docs):
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        dup_groups_from_pairs,
+        minhash_dedup_pairs,
+    )
+
+    pairs = minhash_dedup_pairs(dup_docs, threshold=0.5).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 1)).any()
+    # precision: every reported pair truly ≥ threshold
+    assert (pairs["jaccard"] >= 0.5).all()
+    groups = dup_groups_from_pairs(pairs)
+    assert groups.set_index("doc_id")["dup_group"][1] == 0
+
+
+def test_simhash_pairs_planted(dup_docs):
+    from cryptowalletcommunitydetection_ray.stages.dedup import simhash_dedup_pairs
+
+    pairs = simhash_dedup_pairs(dup_docs, max_hamming=10).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 1)).any()
+    assert (pairs["hamming"] <= 10).all()
+
+
+def test_exact_dedup_keep_min(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 3], "ord": [5, 2, 9, 1, 7], "v": list("abcde")}
+    )
+    out = (
+        exact_dedup(rd.from_pandas(df), ["k"], num_partitions=4, keep_order_col="ord")
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["v"].tolist() == ["b", "d", "e"]

@@ -1,0 +1,53 @@
+"""Multimodal plumbing: binary payload schema, actor stages, stub gating."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cryptowalletcommunitydetection_ray.stages.multimodal import (
+    FEATURE_DIM,
+    RealImageDecode,
+    fake_decode_features,
+)
+
+
+def test_fake_decode_deterministic():
+    a = fake_decode_features(b"hello world payload")
+    b = fake_decode_features(b"hello world payload")
+    assert np.array_equal(a, b)
+    assert a.shape == (FEATURE_DIM,)
+    assert a.dtype == np.float32
+    assert not np.array_equal(a, fake_decode_features(b"other payload"))
+    assert np.array_equal(fake_decode_features(b""), np.zeros(FEATURE_DIM, np.float32))
+
+
+def test_real_decode_is_gated_stub():
+    with pytest.raises(NotImplementedError, match="PIL"):
+        RealImageDecode()
+
+
+def test_feature_pipeline(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.multimodal import (
+        attach_fake_payloads,
+        extract_features,
+        frame_sample,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["abc def", "xyz " * 50]})
+    )
+    payloads = attach_fake_payloads(docs)
+    rows = payloads.take_all()
+    assert {r["id"] for r in rows} == {1, 2}
+    assert all(isinstance(r["payload"], bytes) for r in rows)
+
+    feats = extract_features(payloads).to_pandas().sort_values("id")
+    assert len(feats) == 2
+    assert all(len(f) == FEATURE_DIM for f in feats["features"])
+    assert (feats["n_bytes"] > 0).all()
+
+    frames = frame_sample(payloads, n_frames=4).to_pandas()
+    assert len(frames) == 8
+    assert set(frames["frame_idx"]) == {0, 1, 2, 3}

@@ -1,0 +1,136 @@
+"""Relational stages vs pandas-computed expectations (sf0.001 tables)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/events.parquet"), pd.read_parquet(
+        f"{SF}/events.parquet"
+    )
+
+
+def test_semi_and_anti_join(events):
+    from cryptowalletcommunitydetection_ray.stages.relational import semi_join
+
+    ds, df = events
+    got = semi_join(ds, "user_id", [1, 2, 3]).to_pandas()
+    want = df[df["user_id"].isin([1, 2, 3])]
+    assert len(got) == len(want)
+    got_n = semi_join(ds, "user_id", [1, 2, 3], negate=True).to_pandas()
+    assert len(got_n) == len(df) - len(want)
+
+
+def test_set_union_groupby_idempotent(events):
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        set_union_groupby,
+    )
+
+    ds, df = events
+    got = (
+        set_union_groupby(ds, "user_id", "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("user_id")["event_type"]
+        .agg(lambda s: ",".join(sorted(set(s))))
+        .reset_index()
+    )
+    assert (got["tags"].to_numpy() == want["event_type"].to_numpy()).all()
+    # idempotent under re-run over doubled input (the K1 merge contract)
+    doubled = ds.union(ds)
+    got2 = (
+        set_union_groupby(doubled, "user_id", "event_type")
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got2["tags"].tolist() == got["tags"].tolist()
+
+
+def test_window_bucket(events):
+    from cryptowalletcommunitydetection_ray.stages.relational import window_bucket
+
+    ds, df = events
+    got = window_bucket(ds, "ts", 3600, value_col="value").to_pandas()
+    sec = df["ts"].astype("int64") // 1_000_000
+    want = (
+        pd.DataFrame({"w": (sec // 3600) * 3600, "v": df["value"]})
+        .groupby("w")
+        .agg(n=("v", "size"), s=("v", "sum"))
+        .reset_index()
+    )
+    got = got.sort_values("window_start_s").reset_index(drop=True)
+    want = want.sort_values("w").reset_index(drop=True)
+    assert got["window_start_s"].tolist() == want["w"].tolist()
+    assert got["n_events"].tolist() == want["n"].tolist()
+    assert np.allclose(got["sum_value"], want["s"].round(6), atol=1e-9)
+
+
+def test_sessionize(events):
+    from cryptowalletcommunitydetection_ray.stages.relational import sessionize
+
+    ds, df = events
+    got = sessionize(ds, gap_s=1800).to_pandas()
+    u = df[df["user_id"] == df["user_id"].iloc[0]].sort_values("ts")
+    sec = (u["ts"].astype("int64") // 1_000_000).to_numpy()
+    n_sessions = 1 + int((np.diff(sec) > 1800).sum())
+    assert (
+        len(got[got["user_id"] == df["user_id"].iloc[0]]) == n_sessions
+    )
+    assert (got["start_s"] <= got["end_s"]).all()
+
+
+def test_last_per_key(events):
+    from cryptowalletcommunitydetection_ray.stages.relational import last_per_key
+
+    ds, df = events
+    got = (
+        last_per_key(ds, "user_id", ["ts", "event_id"], ["value"])
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["ts", "event_id"])
+        .drop_duplicates("user_id", keep="last")
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got["event_id"].tolist() == want["event_id"].tolist()
+    assert np.allclose(got["value"], want["value"])
+
+
+def test_grouped_distinct(events):
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        grouped_distinct,
+    )
+
+    ds, df = events
+    got = sorted(grouped_distinct(ds, "user_id").to_pandas()["user_id"])
+    assert got == sorted(df["user_id"].unique())
+
+
+def test_broadcast_dim_join(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        broadcast_dim_join,
+    )
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    part = pd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_brand"])
+    dim = part.rename(columns={"p_partkey": "l_partkey"})
+    got = broadcast_dim_join(li, dim, "l_partkey", ["p_brand"]).to_pandas()
+    ldf = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+    want = ldf.merge(dim, on="l_partkey")
+    assert len(got) == len(want)
+    assert set(got.columns) == {"l_partkey", "l_quantity", "p_brand"}

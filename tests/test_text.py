@@ -1,0 +1,71 @@
+"""Text-analysis functions and stages."""
+
+import numpy as np
+import pandas as pd
+
+from cryptowalletcommunitydetection_ray.functions.textstats import (
+    bpe_token_count,
+    fingerprint,
+    langid,
+    quality_frame,
+    ws_token_count,
+)
+
+
+def test_token_counts():
+    assert ws_token_count("a  b\tc\nd") == 4
+    assert ws_token_count("") == 0
+    # it | 's | 42 | red | - | ish | apples
+    assert bpe_token_count("it's 42 red-ish apples") == 7
+    assert bpe_token_count("   ") == 0
+
+
+def test_quality_frame():
+    out = quality_frame(pd.Series(["Ab1! cd", ""]))
+    assert out["n_chars"].tolist() == [7, 0]
+    assert out["n_tokens"].tolist() == [2, 0]
+    assert out["punct_ratio"].tolist() == [round(1 / 7, 6), 0.0]
+    assert out["digit_ratio"].tolist() == [round(1 / 7, 6), 0.0]
+    assert out["upper_ratio"].tolist() == [round(1 / 7, 6), 0.0]
+    assert out["space_ratio"].tolist() == [round(1 / 7, 6), 0.0]
+
+
+def test_fingerprint_deterministic_and_order_sensitive():
+    assert fingerprint("a b c") == fingerprint("a b c")
+    assert fingerprint("a b c") != fingerprint("c b a")
+    assert fingerprint("") == 0
+
+
+def test_langid():
+    assert langid("the cat and the hat is in a box") == "en"
+    assert langid("der hund und die katze ist ein tier") == "de"
+    assert langid("xyzzy qwerty") == "und"
+    assert langid("") == "und"
+
+
+def test_stages_over_dataset(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.text import (
+        fingerprints,
+        language_id,
+        quality_stats,
+        token_counts,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["the cat and the dog", "der hund und katze", "x1!"],
+            }
+        )
+    )
+    q = quality_stats(docs).to_pandas().sort_values("doc_id")
+    assert q["n_tokens"].tolist() == [5, 4, 1]
+    t = token_counts(docs).to_pandas().sort_values("doc_id")
+    assert t["n_ws_tokens"].tolist() == [5, 4, 1]
+    lang = language_id(docs).to_pandas().sort_values("doc_id")
+    assert lang["lang_pred"].tolist() == ["en", "de", "und"]
+    fp = fingerprints(docs).to_pandas().sort_values("doc_id")
+    assert fp["fingerprint"].nunique() == 3
