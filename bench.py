@@ -1,0 +1,208 @@
+"""Benchmark harness: headline link-graph pipeline + operator timings.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <headline seconds>, "unit": "sec",
+     "queries": {stage/query: sec, ...}, "sf": ..., "num_cpus": N,
+     "pagerank_edges_per_sec": ..., "supersteps": ...}
+
+Headline = the flagship pipeline on a deterministic synthetic pages corpus
+(parquet on disk, written untimed): read → pinned extraction → dedup edge
+table → partitioned CSR artifacts → PageRank to convergence → connected
+components → community collection → triangle counts.
+
+``--scaling``: runs the same benchmark twice in FRESH processes at
+``num_cpus`` 8 and 32 (the sandbox stand-in for N- vs 4N-node clusters) and
+reports both throughputs plus scaling efficiency ``(t8/t32)/4``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from cryptowalletcommunitydetection_ray.context import quiet_data_context
+
+    quiet_data_context()
+
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.pipelines.communities import (
+        community_members,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.edges import build_graph
+    from cryptowalletcommunitydetection_ray.pipelines.pagerank import pagerank
+    from cryptowalletcommunitydetection_ray.pipelines.triangles import (
+        triangle_counts,
+    )
+    from cryptowalletcommunitydetection_ray.sources.pages import write_pages
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    n_pages = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}.get(sf_tag, 100000)
+    P = min(16, max(4, num_cpus // 2))
+
+    # corpus on disk (untimed, cached across runs); also warms the page cache
+    corpus = f"/tmp/cwcd_bench/pages_{n_pages}"
+    if not os.path.exists(f"{corpus}/_DONE"):
+        shutil.rmtree(corpus, ignore_errors=True)
+        write_pages(corpus, n_pages, override_num_blocks=max(8, num_cpus))
+        open(f"{corpus}/_DONE", "w").write("ok")
+    rd.read_parquet(corpus).count()  # warm cache, untimed
+
+    graph_dir = f"/tmp/cwcd_bench/graph_{n_pages}_{num_cpus}_{os.getpid()}"
+    shutil.rmtree(graph_dir, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    pages = rd.read_parquet(corpus)
+    meta = timed("build_graph", lambda: build_graph(pages, graph_dir, P))
+
+    pr_result = {}
+
+    def run_pr():
+        ranks, m = pagerank(graph_dir, tol=1e-10)
+        ranks.materialize()
+        pr_result.update(m)
+
+    timed("pagerank", run_pr)
+
+    timed(
+        "connected_components",
+        lambda: connected_components(graph_dir)[0].materialize(),
+    )
+
+    def run_comms():
+        from cryptowalletcommunitydetection_ray.pipelines.components import (
+            connected_components as cc,
+        )
+
+        labels, _ = cc(graph_dir)
+        community_members(graph_dir, labels).materialize()
+
+    timed("communities", run_comms)
+    timed("triangles", lambda: triangle_counts(graph_dir)[0].materialize())
+
+    # operator benchmarks over the sf tables
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in [
+        "q1_pricing",
+        "hourly_windows",
+        "user_event_tags",
+        "minhash_dedup",
+        "ann_topk",
+        "embed_neardup",
+        "doc_quality",
+    ]:
+        def run_q(name=name):
+            res = qs[name](sf_dir)
+            if isinstance(res, rd.Dataset):
+                res.materialize()
+
+        timed(name, run_q)
+
+    headline = round(
+        sum(
+            timings[k]
+            for k in [
+                "build_graph",
+                "pagerank",
+                "connected_components",
+                "communities",
+                "triangles",
+            ]
+        ),
+        3,
+    )
+    supersteps = pr_result.get("supersteps_run", 0)
+    pr_edges_per_sec = (
+        round(meta["num_edges"] * supersteps / timings["pagerank"], 1)
+        if timings.get("pagerank")
+        else None
+    )
+    out = {
+        "metric": "flagship link-graph pipeline e2e (pages→edges→PageRank+CC+communities+triangles)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "num_cpus": num_cpus,
+        "n_pages": n_pages,
+        "num_edges": meta["num_edges"],
+        "num_vertices": meta["num_vertices"],
+        "supersteps": supersteps,
+        "pagerank_edges_per_sec": pr_edges_per_sec,
+        "P": P,
+    }
+    shutil.rmtree(graph_dir, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (N=8 → 4N=32 CPUs, same input)",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "edges_per_sec_8": r_lo["pagerank_edges_per_sec"],
+                "edges_per_sec_32": r_hi["pagerank_edges_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "queries_8": r_lo["queries"],
+                "queries_32": r_hi["queries"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))
