@@ -16,8 +16,9 @@ import ray
 import ray.data as rd
 
 from ..state import checkpoint as ck
-from ..state.csr import MinLabelShard
 from .iterative import run_supersteps
+
+_K = "cc"
 
 
 def connected_components(
@@ -28,26 +29,28 @@ def connected_components(
     checkpoint_every: int = 5,
     resume: bool = False,
 ) -> tuple[rd.Dataset, dict]:
-    """Returns (Dataset(vid: uint64, label: uint64), run metrics)."""
+    """Returns (Dataset(vid: int64, label: int64), run metrics)."""
 
-    def make_actor(p: int, P: int):
-        return MinLabelShard.remote(graph_dir, p, P)
+    def init(shards, P):
+        pass  # fresh state initializes labels = own vid
 
-    def restore(actors, ckpt_dir, it):
+    def restore(shards, ckpt_dir, it):
         ray.get(
             [
-                a.restore.remote(ck.slice_path(ckpt_dir, it, p))
-                for p, a in enumerate(actors)
+                s.call.remote(_K, "restore", ck.slice_path(ckpt_dir, it, p))
+                for p, s in enumerate(shards)
             ]
         )
 
-    def step(actors, P, iteration):
-        refs = [a.compute.options(num_returns=P + 1).remote() for a in actors]
+    def step(shards, P, iteration):
+        refs = [
+            s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
+        ]
         active = sum(ray.get([refs[p][P] for p in range(P)]))
         changed = ray.get(
             [
-                a.apply.remote([refs[p][q] for p in range(P)])
-                for q, a in enumerate(actors)
+                s.call.remote(_K, "apply", [refs[p][q] for p in range(P)])
+                for q, s in enumerate(shards)
             ]
         )
         return {"frontier": int(active), "changed": int(sum(changed))}
@@ -57,8 +60,9 @@ def connected_components(
 
     return run_supersteps(
         algorithm="connected_components",
+        kernel=_K,
         graph_dir=graph_dir,
-        make_actor=make_actor,
+        init=init,
         step=step,
         converged=converged,
         restore=restore,

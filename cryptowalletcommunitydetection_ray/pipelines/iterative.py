@@ -1,26 +1,30 @@
 """Shared superstep driver for the iterative kernels.
 
-Runs the actor-pool superstep loop (compute → route → apply), checkpointing
-per-partition state slices + a lineage manifest every ``checkpoint_every``
-supersteps, and resuming from the latest *complete* superstep when asked.
+Runs the shard-pool superstep loop (compute → route → apply) over the
+shared per-graph ``KernelShard`` pool, checkpointing per-partition state
+slices + a lineage manifest every ``checkpoint_every`` supersteps, and
+resuming from the latest *complete* superstep when asked.
 """
 
 from __future__ import annotations
 
+import time
 from typing import Any, Callable
 
 import ray
 import ray.data as rd
 
 from ..state import checkpoint as ck
+from ..state.pool import get_pool
 from .edges import read_meta
 
 
 def run_supersteps(
     *,
     algorithm: str,
+    kernel: str,
     graph_dir: str,
-    make_actor: Callable[[int, int], Any],
+    init: Callable[[list, int], None],
     step: Callable[[list, int, int], dict],
     converged: Callable[[dict], bool],
     restore: Callable[[list, str, int], None] | None = None,
@@ -29,15 +33,12 @@ def run_supersteps(
     checkpoint_every: int = 1,
     resume: bool = False,
 ) -> tuple[rd.Dataset, dict]:
-    """Generic superstep loop.  Returns (result Dataset, run metrics).
-
-    ``step(actors, P, iteration)`` performs ONE superstep and returns its
-    metrics dict; ``converged(metrics)`` decides termination; ``restore``
-    loads checkpoint slices into actors.
-    """
+    """Generic superstep loop.  Returns (result Dataset, run metrics)."""
+    t0 = time.time()
     meta = read_meta(graph_dir)
-    P = meta["P"]
-    actors = [make_actor(p, P) for p in range(P)]
+    shards, P = get_pool(graph_dir)
+    ray.get([s.reset.remote(kernel) for s in shards])  # fresh kernel state
+    init(shards, P)
 
     start_iter = 0
     manifest = None
@@ -50,29 +51,35 @@ def run_supersteps(
             it = last["iteration"]
             if restore is None:
                 raise ValueError(f"{algorithm}: resume requested but unsupported")
-            restore(actors, checkpoint_dir, it)
+            restore(shards, checkpoint_dir, it)
             start_iter = it + 1
+    t_setup = time.time() - t0
 
+    t0 = time.time()
     history: list[dict] = []
     iteration = start_iter
     for iteration in range(start_iter, max_iter):
-        metrics = step(actors, P, iteration)
+        metrics = step(shards, P, iteration)
         history.append({"iteration": iteration, **metrics})
         if checkpoint_dir is not None and (
             (iteration % checkpoint_every == 0) or converged(metrics)
         ):
-            done = ray.get(
+            ray.get(
                 [
-                    a.save.remote(ck.slice_path(checkpoint_dir, iteration, p))
-                    for p, a in enumerate(actors)
+                    s.call.remote(
+                        kernel, "save", ck.slice_path(checkpoint_dir, iteration, p)
+                    )
+                    for p, s in enumerate(shards)
                 ]
             )
-            del done
             ck.record_iteration(checkpoint_dir, manifest, iteration, metrics)
         if converged(metrics):
             break
+    t_loop = time.time() - t0
 
-    result = rd.from_arrow_refs([a.get_table.remote() for a in actors])
+    result = rd.from_arrow_refs(
+        [s.call.remote(kernel, "get_table") for s in shards]
+    )
     run_metrics = {
         "algorithm": algorithm,
         "supersteps_run": len(history),
@@ -80,6 +87,8 @@ def run_supersteps(
         "num_vertices": meta["num_vertices"],
         "num_edges": meta["num_edges"],
         "P": P,
+        "setup_seconds": round(t_setup, 3),
+        "loop_seconds": round(t_loop, 3),
         "history": history,
     }
     return result, run_metrics

@@ -1,6 +1,6 @@
 """Generic synchronous label propagation (community detection, north-rule op).
 
-Pinned deterministic rule (see ``state/csr.py:ModeLabelShard``): each
+Pinned deterministic rule (see ``state/csr.py:ModeLabelState``): each
 superstep every vertex adopts the smallest label among those with maximal
 count over its (undirected) neighbors; no-neighbor vertices keep their
 label.  Synchronous LPA can oscillate on bipartite structures, so the loop
@@ -13,8 +13,9 @@ import ray
 import ray.data as rd
 
 from ..state import checkpoint as ck
-from ..state.csr import ModeLabelShard
 from .iterative import run_supersteps
+
+_K = "lpa"
 
 
 def label_propagation(
@@ -25,25 +26,27 @@ def label_propagation(
     checkpoint_every: int = 5,
     resume: bool = False,
 ) -> tuple[rd.Dataset, dict]:
-    """Returns (Dataset(vid: uint64, label: uint64), run metrics)."""
+    """Returns (Dataset(vid: int64, label: int64), run metrics)."""
 
-    def make_actor(p: int, P: int):
-        return ModeLabelShard.remote(graph_dir, p, P)
+    def init(shards, P):
+        pass
 
-    def restore(actors, ckpt_dir, it):
+    def restore(shards, ckpt_dir, it):
         ray.get(
             [
-                a.restore.remote(ck.slice_path(ckpt_dir, it, p))
-                for p, a in enumerate(actors)
+                s.call.remote(_K, "restore", ck.slice_path(ckpt_dir, it, p))
+                for p, s in enumerate(shards)
             ]
         )
 
-    def step(actors, P, iteration):
-        refs = [a.compute.options(num_returns=P + 1).remote() for a in actors]
+    def step(shards, P, iteration):
+        refs = [
+            s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
+        ]
         changed = ray.get(
             [
-                a.apply.remote([refs[p][q] for p in range(P)])
-                for q, a in enumerate(actors)
+                s.call.remote(_K, "apply", [refs[p][q] for p in range(P)])
+                for q, s in enumerate(shards)
             ]
         )
         return {"changed": int(sum(changed))}
@@ -53,8 +56,9 @@ def label_propagation(
 
     return run_supersteps(
         algorithm="label_propagation",
+        kernel=_K,
         graph_dir=graph_dir,
-        make_actor=make_actor,
+        init=init,
         step=step,
         converged=converged,
         restore=restore,

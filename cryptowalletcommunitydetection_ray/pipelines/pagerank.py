@@ -20,9 +20,10 @@ import ray
 import ray.data as rd
 
 from ..state import checkpoint as ck
-from ..state.csr import PageRankShard
-from .edges import read_meta
 from .iterative import run_supersteps
+from .edges import read_meta
+
+_K = "pagerank"
 
 
 def pagerank(
@@ -35,30 +36,32 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
 ) -> tuple[rd.Dataset, dict]:
-    """Returns (Dataset(vid: uint64, rank: float64), run metrics)."""
+    """Returns (Dataset(vid: int64, rank: float64), run metrics)."""
     meta = read_meta(graph_dir)
     n_total = meta["num_vertices"]
 
-    def make_actor(p: int, P: int):
-        a = PageRankShard.remote(graph_dir, p, P)
-        a.init_rank.remote(n_total)
-        return a
+    def init(shards, P):
+        ray.get([s.call.remote(_K, "init_rank", n_total) for s in shards])
 
-    def restore(actors, ckpt_dir, it):
+    def restore(shards, ckpt_dir, it):
         ray.get(
             [
-                a.restore.remote(ck.slice_path(ckpt_dir, it, p), n_total)
-                for p, a in enumerate(actors)
+                s.call.remote(_K, "restore", ck.slice_path(ckpt_dir, it, p), n_total)
+                for p, s in enumerate(shards)
             ]
         )
 
-    def step(actors, P, iteration):
-        refs = [a.compute.options(num_returns=P + 1).remote() for a in actors]
+    def step(shards, P, iteration):
+        refs = [
+            s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
+        ]
         dangling_total = sum(ray.get([refs[p][P] for p in range(P)]))
         deltas = ray.get(
             [
-                a.apply.remote([refs[p][q] for p in range(P)], dangling_total, alpha)
-                for q, a in enumerate(actors)
+                s.call.remote(
+                    _K, "apply", [refs[p][q] for p in range(P)], dangling_total, alpha
+                )
+                for q, s in enumerate(shards)
             ]
         )
         return {"l1_delta": float(sum(deltas)), "dangling_mass": dangling_total}
@@ -68,8 +71,9 @@ def pagerank(
 
     return run_supersteps(
         algorithm="pagerank",
+        kernel=_K,
         graph_dir=graph_dir,
-        make_actor=make_actor,
+        init=init,
         step=step,
         converged=converged,
         restore=restore,

@@ -5,10 +5,11 @@ Algorithm: the standard compact-forward scheme — orient each edge from the
 endpoint smaller in the total order (degree, vid), generate the oriented
 wedges of every apex, and close them against the undirected adjacency.
 Execution: the actor protocol in ``state/triangles.py`` — four routed
-message volleys over the partitioned CSR shards with ZERO Dataset shuffles
-(a previous expression as Dataset joins/groupbys paid ~6 all-to-all
-exchanges; the shard actors already hold exact degrees and sorted
-adjacency, so only wedge queries and pre-aggregated corner counts move).
+message volleys over the shared ``KernelShard`` pool with ZERO Dataset
+shuffles (a previous expression as Dataset joins/groupbys paid ~6
+all-to-all exchanges; the shard actors already hold exact degrees and
+sorted adjacency, so only wedge queries and pre-aggregated corner counts
+move).
 
 Skew handling: the (degree, vid) orientation bounds oriented out-degree by
 O(sqrt(m)); wedge volleys are generated in apex blocks (``wedge_block``)
@@ -19,11 +20,15 @@ vertex receives at most P entries per volley.
 
 from __future__ import annotations
 
+import time
+
 import ray
 import ray.data as rd
 
-from ..state.triangles import TriangleShard
+from ..state.pool import get_pool
 from .edges import read_meta
+
+_K = "triangles"
 
 
 def triangle_counts(
@@ -33,49 +38,55 @@ def triangle_counts(
     wedge_block: int = 200_000,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, triangles: int64), metrics)."""
+    t0 = time.time()
     meta = read_meta(graph_dir)
-    P = meta["P"]  # routing must match the artifact partitioning
+    shards, P = get_pool(graph_dir)
     assert P >= 2, "triangle protocol requires >= 2 partitions"
-
-    shards = [TriangleShard.remote(graph_dir, p, P) for p in range(P)]
+    ray.get([s.reset.remote(_K) for s in shards])
 
     # phase 1+2: degree exchange, orientation
-    reqs = ray.get([s.degree_requests.remote() for s in shards])
+    reqs = ray.get([s.call.remote(_K, "degree_requests") for s in shards])
     replies = [
-        [shards[q].degrees_for.remote(reqs[p][q]) for q in range(P)]
+        [shards[q].call.remote(_K, "degrees_for", reqs[p][q]) for q in range(P)]
         for p in range(P)
     ]
     oriented = ray.get(
-        [shards[p].set_degrees.remote(replies[p]) for p in range(P)]
+        [shards[p].call.remote(_K, "set_degrees", replies[p]) for p in range(P)]
     )
 
     # phase 3+4: wedge volleys in apex blocks
-    n_blocks = max(ray.get([s.n_blocks.remote(wedge_block) for s in shards]))
-    matched_total = 0
+    n_blocks = max(
+        ray.get([s.call.remote(_K, "n_blocks", wedge_block) for s in shards])
+    )
     for b in range(n_blocks):
         wrefs = [
-            s.wedges_for_block.options(num_returns=P + 1).remote(b, wedge_block)
+            s.call.options(num_returns=P + 1).remote(
+                _K, "wedges_for_block", b, wedge_block
+            )
             for s in shards
         ]
         incs = [
-            shards[q].match_wedges.options(num_returns=P).remote(
-                [wrefs[p][q] for p in range(P)]
+            shards[q].call.options(num_returns=P).remote(
+                _K, "match_wedges", [wrefs[p][q] for p in range(P)]
             )
             for q in range(P)
         ]
-        matched_total += sum(
-            ray.get(
-                [
-                    shards[r].apply_counts.remote([incs[q][r] for q in range(P)])
-                    for r in range(P)
-                ]
-            )
+        ray.get(
+            [
+                shards[r].call.remote(
+                    _K, "apply_counts", [incs[q][r] for q in range(P)]
+                )
+                for r in range(P)
+            ]
         )
 
-    result = rd.from_arrow_refs([s.get_table.remote() for s in shards])
+    result = rd.from_arrow_refs(
+        [s.call.remote(_K, "get_table") for s in shards]
+    )
     return result, {
         "algorithm": "triangles",
         "P": P,
         "oriented_edges": int(sum(oriented)),
         "wedge_blocks": n_blocks,
+        "seconds": round(time.time() - t0, 3),
     }

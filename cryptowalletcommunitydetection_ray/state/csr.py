@@ -1,4 +1,4 @@
-"""Hash-partitioned CSR shard actors — the engine's iterative-graph state.
+"""Hash-partitioned CSR shard state — the engine's iterative-graph core.
 
 This is the one place the engine drops below the Dataset API: a shared,
 mutable, partition-local rank/label vector that every superstep updates in
@@ -9,6 +9,12 @@ reference's whole-graph-in-driver-RAM networkx model
   - the CSR of edges whose ``src % P == p`` (its hash partition, read from
     the partitioned parquet artifact — each actor reads ONLY its files),
   - the vertex-id slice ``vid % P == p`` and its rank/label vector.
+
+One ``KernelShard`` actor per partition hosts ALL kernels (PageRank,
+min-label CC, mode-label LPA, triangles) behind a generic ``call``
+dispatcher, with a per-shard artifact cache — so a multi-kernel pipeline
+(the flagship: PageRank + CC + communities + triangles) pays actor-pool
+spawn and parquet load ONCE (see ``state/pool.py``).
 
 Superstep dataflow (all numpy, zero Python loops over edges):
 
@@ -46,27 +52,19 @@ def _col(t: pa.Table, name: str) -> np.ndarray:
     return np.asarray(t[name].to_numpy(zero_copy_only=False), dtype=np.int64)
 
 
-class _ShardBase:
-    """Loads one CSR partition; precomputes the message routing structure."""
+class _Csr:
+    """Message-routing CSR over one artifact partition (edges sorted by
+    (dst_partition, dst); per-q segment ids precomputed for local combine)."""
 
-    def _load(self, graph_dir: str, part: int, nparts: int, artifact: str) -> None:
-        self.part = part
-        self.nparts = nparts
+    def __init__(self, graph_dir, part, nparts, artifact, vids):
         t = read_part(graph_dir, artifact, part, ["src", "dst"])
         src = _col(t, "src")
         dst = _col(t, "dst")
-        vt = read_part(graph_dir, "vertices", part, ["vid"])
-        self.vids = np.sort(_col(vt, "vid"))
-        self.n_local = len(self.vids)
-
         dst_part = (dst.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
         order = np.lexsort((dst, dst_part))
-        src_sorted = src[order]
         self.dst_sorted = dst[order]
-        # index of each edge's src in the local vertex slice (always local)
-        self.src_idx = np.searchsorted(self.vids, src_sorted)
+        self.src_idx = np.searchsorted(vids, src[order])
         self.qb = np.searchsorted(dst_part[order], np.arange(nparts + 1))
-        # per-destination-partition segment ids (for the local combine)
         self.seg = np.empty(len(dst), dtype=np.int64)
         self.uniq_dst: list[np.ndarray] = []
         self.n_uniq: list[int] = []
@@ -80,68 +78,96 @@ class _ShardBase:
             self.uniq_dst.append(u)
             self.n_uniq.append(len(u))
             self.seg[s:e] = inv
-        # out-degree over THIS artifact (directed artifact → true out-degree)
-        self.outdeg = np.bincount(self.src_idx, minlength=self.n_local).astype(
-            np.int64
-        ) if len(src) else np.zeros(self.n_local, dtype=np.int64)
+        self.outdeg = (
+            np.bincount(self.src_idx, minlength=len(vids)).astype(np.int64)
+            if len(src)
+            else np.zeros(len(vids), dtype=np.int64)
+        )
 
-    # --- state persistence (checkpoint slices) ---------------------------
+
+class ShardData:
+    """Per-(graph_dir, part) lazily-loaded artifact cache shared by kernels."""
+
+    def __init__(self, graph_dir: str, part: int, nparts: int):
+        self.graph_dir, self.part, self.nparts = graph_dir, part, nparts
+        self._vids: np.ndarray | None = None
+        self._csr: dict[str, _Csr] = {}
+
+    @property
+    def vids(self) -> np.ndarray:
+        if self._vids is None:
+            vt = read_part(self.graph_dir, "vertices", self.part, ["vid"])
+            self._vids = np.sort(_col(vt, "vid"))
+        return self._vids
+
+    def csr(self, artifact: str) -> _Csr:
+        if artifact not in self._csr:
+            self._csr[artifact] = _Csr(
+                self.graph_dir, self.part, self.nparts, artifact, self.vids
+            )
+        return self._csr[artifact]
+
+
+class _VecState:
+    """Shared slice-persistence helpers (checkpoint slices)."""
+
+    data: ShardData
+
     def _save_vec(self, path: str, name: str, vec: np.ndarray) -> None:
         import os
 
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(pa.table({"vid": self.vids, name: vec}), path)
+        pq.write_table(pa.table({"vid": self.data.vids, name: vec}), path)
 
     def _load_vec(self, path: str, name: str) -> np.ndarray:
         t = pq.read_table(path)
         vids = np.asarray(t["vid"].to_numpy(), dtype=np.int64)
         vec = t[name].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(self.vids, vids)
-        out = np.empty(self.n_local, dtype=vec.dtype)
+        idx = np.searchsorted(self.data.vids, vids)
+        out = np.empty(len(self.data.vids), dtype=vec.dtype)
         out[idx] = vec
         return out
 
 
-@ray.remote
-class PageRankShard(_ShardBase):
+class PageRankState(_VecState):
     """Power iteration with dangling-mass redistribution (directed edges)."""
 
-    def __init__(self, graph_dir: str, part: int, nparts: int):
-        self._load(graph_dir, part, nparts, "edges")
-        self.dangling_mask = self.outdeg == 0
+    def __init__(self, data: ShardData):
+        self.data = data
+        self.csr = data.csr("edges")
+        self.dangling_mask = self.csr.outdeg == 0
         self.rank = np.empty(0)
         self.n_total = 0
 
     def init_rank(self, n_total: int) -> None:
         self.n_total = n_total
-        self.rank = np.full(self.n_local, 1.0 / n_total, dtype=np.float64)
+        self.rank = np.full(len(self.data.vids), 1.0 / n_total, dtype=np.float64)
 
     def restore(self, path: str, n_total: int) -> None:
         self.n_total = n_total
         self.rank = self._load_vec(path, "rank")
 
     def compute(self):
-        """Returns nparts message slices + (dangling_sum,) as slot P."""
-        contrib = self.rank / np.maximum(self.outdeg, 1)
-        vals = contrib[self.src_idx]
+        c = self.csr
+        contrib = self.rank / np.maximum(c.outdeg, 1)
+        vals = contrib[c.src_idx]
         out = []
-        for q in range(self.nparts):
-            s, e = int(self.qb[q]), int(self.qb[q + 1])
+        for q in range(self.data.nparts):
+            s, e = int(c.qb[q]), int(c.qb[q + 1])
             if s == e:
                 out.append(None)
                 continue
-            sums = np.bincount(self.seg[s:e], weights=vals[s:e],
-                               minlength=self.n_uniq[q])
-            out.append((self.uniq_dst[q], sums))
+            sums = np.bincount(c.seg[s:e], weights=vals[s:e], minlength=c.n_uniq[q])
+            out.append((c.uniq_dst[q], sums))
         dangling = float(self.rank[self.dangling_mask].sum())
         return (*out, dangling)
 
     def apply(self, msg_refs, dangling_total: float, alpha: float) -> float:
-        incoming = np.zeros(self.n_local, dtype=np.float64)
+        incoming = np.zeros(len(self.data.vids), dtype=np.float64)
         for m in ray.get(list(msg_refs)):  # fixed order p=0..P-1: deterministic
             if m is None:
                 continue
-            idx = np.searchsorted(self.vids, m[0])
+            idx = np.searchsorted(self.data.vids, m[0])
             incoming[idx] += m[1]
         base = (1.0 - alpha) / self.n_total + alpha * dangling_total / self.n_total
         new = base + alpha * incoming
@@ -153,34 +179,35 @@ class PageRankShard(_ShardBase):
         self._save_vec(path, "rank", self.rank)
 
     def get_table(self) -> pa.Table:
-        return pa.table({"vid": self.vids, "rank": self.rank})
+        return pa.table({"vid": self.data.vids, "rank": self.rank})
 
 
-@ray.remote
-class MinLabelShard(_ShardBase):
+class MinLabelState(_VecState):
     """Hash-min label propagation (connected components) over undirected
     edges, with a change-frontier so converged regions stop sending."""
 
-    def __init__(self, graph_dir: str, part: int, nparts: int):
-        self._load(graph_dir, part, nparts, "edges_und")
-        self.labels = self.vids.copy()
-        self.frontier = np.ones(self.n_local, dtype=bool)
+    def __init__(self, data: ShardData):
+        self.data = data
+        self.csr = data.csr("edges_und")
+        self.labels = data.vids.copy()
+        self.frontier = np.ones(len(data.vids), dtype=bool)
 
     def restore(self, path: str) -> None:
         self.labels = self._load_vec(path, "label")
-        self.frontier = np.ones(self.n_local, dtype=bool)  # safe over-approx
+        self.frontier = np.ones(len(self.data.vids), dtype=bool)  # safe
 
     def compute(self):
-        mask = self.frontier[self.src_idx]
-        cand = self.labels[self.src_idx]
+        c = self.csr
+        mask = self.frontier[c.src_idx]
+        cand = self.labels[c.src_idx]
         out = []
-        for q in range(self.nparts):
-            s, e = int(self.qb[q]), int(self.qb[q + 1])
+        for q in range(self.data.nparts):
+            s, e = int(c.qb[q]), int(c.qb[q + 1])
             m = mask[s:e]
             if s == e or not m.any():
                 out.append(None)
                 continue
-            d = self.dst_sorted[s:e][m]
+            d = c.dst_sorted[s:e][m]
             v = cand[s:e][m]
             starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
             out.append((d[starts], np.minimum.reduceat(v, starts)))
@@ -191,7 +218,7 @@ class MinLabelShard(_ShardBase):
         for m in ray.get(list(msg_refs)):
             if m is None:
                 continue
-            idx = np.searchsorted(self.vids, m[0])
+            idx = np.searchsorted(self.data.vids, m[0])
             best[idx] = np.minimum(best[idx], m[1])
         changed = best < self.labels
         self.labels = best
@@ -202,36 +229,35 @@ class MinLabelShard(_ShardBase):
         self._save_vec(path, "label", self.labels)
 
     def get_table(self) -> pa.Table:
-        return pa.table({"vid": self.vids, "label": self.labels})
+        return pa.table({"vid": self.data.vids, "label": self.labels})
 
 
-@ray.remote
-class ModeLabelShard(_ShardBase):
+class ModeLabelState(_VecState):
     """Synchronous community label propagation (mode of neighbor labels).
 
-    Pinned deterministic update rule: new label = the smallest label among
-    those with maximal neighbor count; vertices with no neighbors keep their
-    label.  Tie-breaking and synchronous scheduling are pinned so results
-    are reproducible (the reference's community semantics are deterministic
-    too — connected components; this generic LPA is the north-rule addition).
+    Pinned deterministic rule: new label = the smallest label among those
+    with maximal neighbor count; vertices with no neighbors keep their
+    label (tests pin the same rule in a pure-python oracle).
     """
 
-    def __init__(self, graph_dir: str, part: int, nparts: int):
-        self._load(graph_dir, part, nparts, "edges_und")
-        self.labels = self.vids.copy()
+    def __init__(self, data: ShardData):
+        self.data = data
+        self.csr = data.csr("edges_und")
+        self.labels = data.vids.copy()
 
     def restore(self, path: str) -> None:
         self.labels = self._load_vec(path, "label")
 
     def compute(self):
-        lab = self.labels[self.src_idx]
+        c = self.csr
+        lab = self.labels[c.src_idx]
         out = []
-        for q in range(self.nparts):
-            s, e = int(self.qb[q]), int(self.qb[q + 1])
+        for q in range(self.data.nparts):
+            s, e = int(c.qb[q]), int(c.qb[q + 1])
             if s == e:
                 out.append(None)
                 continue
-            d = self.dst_sorted[s:e]
+            d = c.dst_sorted[s:e]
             v = lab[s:e]
             order = np.lexsort((v, d))
             d, v = d[order], v[order]
@@ -250,20 +276,18 @@ class ModeLabelShard(_ShardBase):
         if not ds:
             return 0
         d = np.concatenate(ds); v = np.concatenate(vs); c = np.concatenate(cs)
-        # merge counts for identical (dst, label) across shards
         order = np.lexsort((v, d))
         d, v, c = d[order], v[order], c[order]
         new_grp = np.r_[True, (d[1:] != d[:-1]) | (v[1:] != v[:-1])]
         gid = np.cumsum(new_grp) - 1
         cm = np.bincount(gid, weights=c)
         du, vu = d[new_grp], v[new_grp]
-        # per dst: max count, tie → min label.  Sort (dst asc, count desc,
-        # label asc) and take the first row of each dst run.
+        # per dst: max count, tie → min label
         sel = np.lexsort((vu, -cm, du))
         du, vu = du[sel], vu[sel]
         first = np.r_[True, du[1:] != du[:-1]]
         dst_win, lab_win = du[first], vu[first]
-        idx = np.searchsorted(self.vids, dst_win)
+        idx = np.searchsorted(self.data.vids, dst_win)
         changed = self.labels[idx] != lab_win
         self.labels[idx] = lab_win
         return int(changed.sum())
@@ -272,4 +296,40 @@ class ModeLabelShard(_ShardBase):
         self._save_vec(path, "label", self.labels)
 
     def get_table(self) -> pa.Table:
-        return pa.table({"vid": self.vids, "label": self.labels})
+        return pa.table({"vid": self.data.vids, "label": self.labels})
+
+
+@ray.remote(num_cpus=0)
+class KernelShard:
+    """One actor per partition hosting every kernel's state.
+
+    ``num_cpus=0``: shards are latency-bound message processors that sit
+    idle between supersteps; reserving a full CPU each would starve the
+    Dataset operators sharing the node (and deadlock small test clusters).
+    """
+
+    def __init__(self, graph_dir: str, part: int, nparts: int):
+        self.data = ShardData(graph_dir, part, nparts)
+        self._kernels: dict[str, object] = {}
+
+    def _kernel(self, name: str):
+        k = self._kernels.get(name)
+        if k is None:
+            from .triangles import TriangleState
+
+            cls = {
+                "pagerank": PageRankState,
+                "cc": MinLabelState,
+                "lpa": ModeLabelState,
+                "triangles": TriangleState,
+            }[name]
+            k = cls(self.data)
+            self._kernels[name] = k
+        return k
+
+    def reset(self, name: str) -> None:
+        """Drop a kernel's state so the next call starts fresh."""
+        self._kernels.pop(name, None)
+
+    def call(self, kernel: str, method: str, *args):
+        return getattr(self._kernel(kernel), method)(*args)

@@ -2,13 +2,13 @@
 
 Replaces a 6-shuffle Dataset expression (degree join ×2, wedge groupby,
 closing-edge hash join, count groupby, zero-fill) with four routed message
-volleys over the same CSR shard actors the iterative kernels use — no
-Dataset shuffles at all:
+volleys over the same shard actors the iterative kernels use — no Dataset
+shuffles at all:
 
   1. **degree exchange** (request/reply): shard p already knows the EXACT
      degree of its local vertices (its und adjacency row lengths) and the
-     destination-partition routing of its edges (``uniq_dst``); it asks
-     shard q only for the degrees of the vertices it actually references.
+     destination-partition routing of its edges; it asks shard q only for
+     the degrees of the vertices it actually references.
   2. **orientation**: each shard keeps the edges whose local endpoint is
      smaller in the total order (degree, vid) — the classic
      O(sqrt(m))-out-degree orientation that bounds wedge blowup at hub
@@ -17,13 +17,16 @@ Dataset shuffles at all:
      movement.
   3. **wedge close**: oriented neighbor pairs (v, w) of each apex are
      routed to the shard owning min(v, w), which answers membership from
-     its sorted adjacency (vectorized searchsorted per source-vertex run)
-     and immediately accumulates the count for its local corner.
+     its sorted adjacency (vectorized bisection per query) and immediately
+     accumulates the count for its local corner.
   4. **corner routing**: counts for the two remote corners travel back as
      pre-aggregated (vid, count) arrays to their owning shards.
 
 Wedges are generated and routed in apex blocks (``wedge_block``) so peak
 message volume is bounded — the streaming knob for very dense shards.
+
+Hosted as a kernel state inside ``state/csr.py:KernelShard`` (shared actor
+pool; spawn/load paid once per graph).
 """
 
 from __future__ import annotations
@@ -34,37 +37,34 @@ import pyarrow as pa
 import ray
 
 from ..pipelines.edges import read_part
-from .csr import _col
+from .csr import ShardData, _col
 
 
-@ray.remote
-class TriangleShard:
-    def __init__(self, graph_dir: str, part: int, nparts: int):
-        self.part = part
-        self.nparts = nparts
-        t = read_part(graph_dir, "edges_und", part, ["src", "dst"])
+class TriangleState:
+    def __init__(self, data: ShardData):
+        self.data = data
+        nparts = data.nparts
+        t = read_part(data.graph_dir, "edges_und", data.part, ["src", "dst"])
         src = _col(t, "src")
         dst = _col(t, "dst")
         keep = src != dst  # triangles ignore self-loops
         src, dst = src[keep], dst[keep]
-        vt = read_part(graph_dir, "vertices", part, ["vid"])
-        self.vids = np.sort(_col(vt, "vid"))
+        self.vids = data.vids
         self.n_local = len(self.vids)
 
         order = np.lexsort((dst, src))
         self.src_sorted = src[order]
         self.dst_sorted = dst[order]
         self.src_idx = np.searchsorted(self.vids, self.src_sorted)
-        # CSR row pointers over local vids (adjacency sorted by dst within src)
+        # CSR rows over local vids, adjacency sorted by dst within src
         self.indptr = np.searchsorted(self.src_idx, np.arange(self.n_local + 1))
         self.deg = np.diff(self.indptr)  # exact degree, no shuffle needed
         self.counts = np.zeros(self.n_local, dtype=np.int64)
-        # degree-request routing: unique remote dst per destination partition
         dst_part = (dst.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
         self.req: list[np.ndarray] = [
             np.unique(dst[dst_part == q]) for q in range(nparts)
         ]
-        self.dst_deg = np.empty(len(dst), dtype=np.int64)  # filled in phase 2
+        self.dst_deg = np.empty(len(dst), dtype=np.int64)
         self._dst_part_sorted = dst_part[order]
 
     # --- phase 1/2: degree exchange --------------------------------------
@@ -76,15 +76,13 @@ class TriangleShard:
         return self.deg[idx]
 
     def set_degrees(self, replies) -> int:
-        """replies[q] aligns with self.req[q]; scatter onto edges."""
         replies = ray.get(list(replies))
-        for q in range(self.nparts):
+        for q in range(self.data.nparts):
             sel = self._dst_part_sorted == q
             if not sel.any():
                 continue
             pos = np.searchsorted(self.req[q], self.dst_sorted[sel])
             self.dst_deg[sel] = replies[q][pos]
-        # orientation mask: local src is the smaller endpoint in (deg, vid)
         sdeg = self.deg[self.src_idx]
         self.oriented = (sdeg < self.dst_deg) | (
             (sdeg == self.dst_deg) & (self.src_sorted < self.dst_sorted)
@@ -99,49 +97,46 @@ class TriangleShard:
         """Returns nparts+1 slots: per-q (x, y, apex) arrays, then None."""
         import pandas as pd
 
+        nparts = self.data.nparts
         lo = block * wedge_block
         hi = min(self.n_local, lo + wedge_block)
         sel = self.oriented & (self.src_idx >= lo) & (self.src_idx < hi)
         if not sel.any():
-            return (*([None] * self.nparts), None)
-        df = pd.DataFrame(
-            {"a": self.src_idx[sel], "n": self.dst_sorted[sel]}
-        )
+            return (*([None] * nparts), None)
+        df = pd.DataFrame({"a": self.src_idx[sel], "n": self.dst_sorted[sel]})
         m = df.merge(df, on="a")
         m = m[m["n_x"] < m["n_y"]]
         if not len(m):
-            return (*([None] * self.nparts), None)
-        x = m["n_x"].to_numpy()  # canonical: oriented nbrs sorted by vid
+            return (*([None] * nparts), None)
+        x = m["n_x"].to_numpy()  # canonical: min vid of the closing pair
         y = m["n_y"].to_numpy()
         apex = self.vids[m["a"].to_numpy()]
-        xp = (x.astype(np.uint64) % np.uint64(self.nparts)).astype(np.int64)
+        xp = (x.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
         out = []
-        for q in range(self.nparts):
+        for q in range(nparts):
             s = xp == q
             out.append((x[s], y[s], apex[s]) if s.any() else None)
         return (*out, None)
 
     # --- phase 4: membership check + corner accumulation -----------------
     def match_wedges(self, queries):
-        """queries: per-source-shard refs of (x, y, apex).  Returns
-        nparts slots of pre-aggregated (vid, count) increments for remote
-        corners; local x-corners are accumulated in place."""
+        nparts = self.data.nparts
         xs, ys, apexes = [], [], []
         for m in ray.get(list(queries)):
             if m is None:
                 continue
             xs.append(m[0]); ys.append(m[1]); apexes.append(m[2])
         if not xs:
-            return tuple([None] * self.nparts)
+            return tuple([None] * nparts)
         x = np.concatenate(xs); y = np.concatenate(ys)
         apex = np.concatenate(apexes)
         xi = np.searchsorted(self.vids, x)
-        # membership: y in adjacency row of x (rows sorted by dst)
         lo = self.indptr[xi]
         hi = self.indptr[xi + 1]
-        # vectorized lower_bound over variable CSR rows: iterative bisection,
-        # log2(max row length) fully-vectorized steps
+        # vectorized lower_bound over variable CSR rows
         n_dst = len(self.dst_sorted)
+        if n_dst == 0:
+            return tuple([None] * nparts)
         width = hi - lo
         steps = int(np.ceil(np.log2(max(2, int(width.max()) + 1)))) + 1
         lo_b = lo.copy()
@@ -153,19 +148,15 @@ class TriangleShard:
             go_right = active & (midval < y)
             lo_b = np.where(go_right, mid + 1, lo_b)
             hi_b = np.where(active & ~go_right, mid, hi_b)
-        found = (lo_b < hi) & (
-            self.dst_sorted[np.minimum(lo_b, n_dst - 1)] == y
-        )
+        found = (lo_b < hi) & (self.dst_sorted[np.minimum(lo_b, n_dst - 1)] == y)
         if not found.any():
-            return tuple([None] * self.nparts)
+            return tuple([None] * nparts)
         fx, fy, fapex = xi[found], y[found], apex[found]
-        # local corner (x) accumulates here
-        np.add.at(self.counts, fx, 1)
-        # remote corners: pre-aggregated per destination partition
-        out = [None] * self.nparts
+        np.add.at(self.counts, fx, 1)  # local corner
+        out = [None] * nparts
         vcat = np.concatenate([fy, fapex])
-        vp = (vcat.astype(np.uint64) % np.uint64(self.nparts)).astype(np.int64)
-        for q in range(self.nparts):
+        vp = (vcat.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
+        for q in range(nparts):
             s = vp == q
             if not s.any():
                 continue
