@@ -47,7 +47,7 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from cryptowalletcommunitydetection_ray.pipelines.communities import (
-        community_members,
+        community_members_from_pool,
     )
     from cryptowalletcommunitydetection_ray.pipelines.components import (
         connected_components,
@@ -105,7 +105,7 @@ def run_bench() -> dict:
     timed("connected_components", run_cc)
     timed(
         "communities",
-        lambda: community_members(graph_dir, cc_labels["ds"]).materialize(),
+        lambda: community_members_from_pool(graph_dir).materialize(),
     )
     timed("triangles", lambda: triangle_counts(graph_dir)[0].materialize())
 

@@ -37,6 +37,43 @@ from ..context import enforce_schema, rename_cols
 from .edges import read_meta
 
 
+def _collect_communities(tagged: rd.Dataset, chain: str) -> rd.Dataset:
+    """(vid, url, is_user, label) rows → one row per community."""
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        is_user = g["is_user"].to_numpy(dtype=bool)
+        urls = g["url"].to_numpy()
+        users = sorted(urls[is_user].tolist())
+        depos = sorted(urls[~is_user].tolist())
+        return pd.DataFrame(
+            {
+                "_id": [np.int64(g["label"].iloc[0])],
+                "user_wallets": [users],
+                "deposit_wallets": [depos],
+                "num_user": [len(users)],
+                "num_depo": [len(depos)],
+                "chain": [chain],
+            }
+        )
+
+    return tagged.groupby("label").map_groups(collect, batch_format="pandas")
+
+
+def community_members_from_pool(graph_dir: str, *, chain: str = "web") -> rd.Dataset:
+    """Fast path: read labeled vertices straight out of the converged CC
+    shard states — the label⋈attributes "join" is partition-local and free
+    (requires ``connected_components`` to have just run on this graph)."""
+    import ray
+
+    from ..state.pool import get_pool
+
+    shards, _ = get_pool(graph_dir)
+    tagged = rd.from_arrow_refs(
+        [s.call.remote("cc", "get_labeled_vertices") for s in shards]
+    )
+    return _collect_communities(tagged, chain)
+
+
 def community_members(
     graph_dir: str,
     labels: rd.Dataset,
@@ -61,24 +98,7 @@ def community_members(
         f"{graph_dir}/vertices", columns=["vid", "url", "is_user"]
     )
     tagged = verts.join(labels, "inner", P, on=("vid",))
-
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        is_user = g["is_user"].to_numpy(dtype=bool)
-        urls = g["url"].to_numpy()
-        users = sorted(urls[is_user].tolist())
-        depos = sorted(urls[~is_user].tolist())
-        return pd.DataFrame(
-            {
-                "_id": [np.int64(g["label"].iloc[0])],
-                "user_wallets": [users],
-                "deposit_wallets": [depos],
-                "num_user": [len(users)],
-                "num_depo": [len(depos)],
-                "chain": [chain],
-            }
-        )
-
-    return tagged.groupby("label").map_groups(collect, batch_format="pandas")
+    return _collect_communities(tagged, chain)
 
 
 def community_edges(graph_dir: str, labels: rd.Dataset) -> rd.Dataset:
@@ -110,14 +130,15 @@ def detect_communities(
     checkpoint_dir: str | None = None,
     resume: bool = False,
 ) -> tuple[rd.Dataset, dict]:
-    """End-to-end: CC to fixpoint, then per-community membership rows."""
-    labels, metrics = connected_components(
+    """End-to-end: CC to fixpoint, then per-community membership rows
+    (the fast pool path: labels never leave their shard for the join)."""
+    _, metrics = connected_components(
         graph_dir,
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
     )
-    return community_members(graph_dir, labels, chain=chain), metrics
+    return community_members_from_pool(graph_dir, chain=chain), metrics
 
 
 def top_communities(

@@ -153,16 +153,38 @@ def lsh_candidate_pairs(
         concurrency=(1, concurrency),
     )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        ids = ids[:max_bucket]
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+    # hash-partition by (band, bucket) and build every bucket's pairs with
+    # ONE vectorized self-merge per partition (per-bucket Python groups are
+    # the classic map_groups overhead trap: bands × docs tiny groups)
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        with np.errstate(over="ignore"):
+            key = (
+                df["bucket"].to_numpy().astype(np.uint64) * np.uint64(1000003)
+                + df["band"].to_numpy().astype(np.uint64)
+            )
+        df[_PART] = (key % np.uint64(32)).astype(np.int32)
+        return df
 
-    cands = bucketed.groupby(["band", "bucket"]).map_groups(
-        pairs, batch_format="pandas"
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["band", "bucket", id_col]).sort_values(
+            id_col, kind="stable"
+        )
+        # skew guard: cap degenerate buckets at max_bucket smallest ids
+        g = g.groupby(["band", "bucket"], sort=False).head(max_bucket)
+        m = g.merge(g, on=["band", "bucket"])
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        return pd.DataFrame(
+            {
+                "a": m[f"{id_col}_x"].to_numpy(),
+                "b": m[f"{id_col}_y"].to_numpy(),
+            }
+        )
+
+    cands = (
+        bucketed.map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(pairs_part, batch_format="pandas")
     )
     return exact_dedup(cands, ["a", "b"], num_partitions=16)
 

@@ -107,6 +107,21 @@ class ShardData:
             )
         return self._csr[artifact]
 
+    def vertex_attrs(self):
+        """(url, is_user) arrays aligned with the sorted ``vids`` slice."""
+        if not hasattr(self, "_attrs"):
+            vt = read_part(
+                self.graph_dir, "vertices", self.part, ["vid", "url", "is_user"]
+            )
+            v = _col(vt, "vid")
+            order = np.argsort(v, kind="stable")
+            urls = np.asarray(vt["url"].to_numpy(zero_copy_only=False))[order]
+            is_user = np.asarray(
+                vt["is_user"].to_numpy(zero_copy_only=False), dtype=bool
+            )[order]
+            self._attrs = (urls, is_user)
+        return self._attrs
+
 
 class _VecState:
     """Shared slice-persistence helpers (checkpoint slices)."""
@@ -230,6 +245,19 @@ class MinLabelState(_VecState):
 
     def get_table(self) -> pa.Table:
         return pa.table({"vid": self.data.vids, "label": self.labels})
+
+    def get_labeled_vertices(self) -> pa.Table:
+        """Labels joined with vertex attributes — partition-local, no
+        Dataset join (urls/is_user live in the same hash partition)."""
+        urls, is_user = self.data.vertex_attrs()
+        return pa.table(
+            {
+                "vid": self.data.vids,
+                "url": urls,
+                "is_user": is_user,
+                "label": self.labels,
+            }
+        )
 
 
 class ModeLabelState(_VecState):
