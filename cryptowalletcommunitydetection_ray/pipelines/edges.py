@@ -117,62 +117,8 @@ def dedup_edges(raw_edges: rd.Dataset, num_partitions: int = 64) -> rd.Dataset:
     return exact_dedup(raw_edges, ["src", "dst"], num_partitions=num_partitions)
 
 
-def _side(df: pd.DataFrame, vid: str, url: str, rank: int) -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "vid": df[vid].to_numpy(),
-            "url": df[url].to_numpy(),
-            # 0 = appeared as src, 1 = as dst; dedup keeps the min, so any
-            # vertex with at least one outgoing edge ends with side_rank 0
-            "side_rank": np.full(len(df), rank, dtype=np.int8),
-        }
-    )
 
 
-def _vertices_from_edges(edge_table: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    srcs = edge_table.map_batches(
-        lambda df: _side(df, "src", "src_url", 0), batch_format="pandas"
-    )
-    dsts = edge_table.map_batches(
-        lambda df: _side(df, "dst", "dst_url", 1), batch_format="pandas"
-    )
-    verts = exact_dedup(
-        srcs.union(dsts),
-        ["vid"],
-        num_partitions=num_partitions,
-        keep_order_col="side_rank",
-    )
-
-    def add_attrs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["host"] = [host_of(u) for u in df["url"]]
-        # "user" side of the reference's bipartite split: has an out-edge
-        # (appears in the distinct-src list, wallet_clustering.py:53)
-        df["is_user"] = df["side_rank"].to_numpy() == 0
-        return df.drop(columns=["side_rank"])
-
-    return verts.map_batches(add_attrs, batch_format="pandas")
-
-
-def _write_partitioned(
-    ds: rd.Dataset, path: str, part_key: str, num_partitions: int
-) -> None:
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["part"] = (
-            df[part_key].to_numpy().astype(np.uint64) % np.uint64(num_partitions)
-        ).astype(np.int32)
-        return df
-
-    ds.map_batches(add_part, batch_format="pandas").write_parquet(
-        path, partition_cols=["part"]
-    )
-
-
-def _count_rows(path: str) -> int:
-    import pyarrow.dataset as pads
-
-    return pads.dataset(path, format="parquet", partitioning="hive").count_rows()
 
 
 def build_graph_from_edges(
@@ -183,46 +129,128 @@ def build_graph_from_edges(
     lineage: dict | None = None,
 ) -> dict:
     """Materialize all graph artifacts from a raw (src, dst, src_url,
-    dst_url) Dataset; returns the meta dict."""
+    dst_url) Dataset; returns the meta dict.
+
+    ONE shuffle total: each raw edge is tagged into five routed rows —
+    the directed edge (→ part src%P), both undirected orientations
+    (→ src%P each), and the two endpoint vertices (→ vid%P) — then a single
+    ``groupby(part)`` delivers every partition's rows to one task, which
+    dedups each artifact vectorized and writes its partition files directly
+    (tmp + atomic rename, so a crashed build never leaves a half-written
+    partition and a re-run is idempotent).  Partition counts come back as
+    the group results — no post-hoc metadata scans.
+
+    P bounds per-task memory (a partition's ~5× edge rows must fit a worker
+    heap) — at 100 TB choose P so edges/P ≈ a few GB, exactly the same knob
+    the CSR shards use.
+    """
     os.makedirs(graph_dir, exist_ok=True)
-    # the raw edge stream is consumed exactly ONCE; everything else derives
-    # from the written edge-table parquet (columnar reads of needed columns)
-    edges = dedup_edges(raw_edges, num_partitions=num_partitions)
-    _write_partitioned(edges, f"{graph_dir}/edges", "src", num_partitions)
+    P = num_partitions
 
-    edges_sd = rd.read_parquet(f"{graph_dir}/edges", columns=["src", "dst"])
+    KIND_EDGE, KIND_UND, KIND_VERT = 0, 1, 2
 
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        # local pre-dedup shrinks the shuffle
+        df = df.drop_duplicates(subset=["src", "dst"])
+        s = df["src"].to_numpy()
+        d = df["dst"].to_numpy()
+        su = df["src_url"].to_numpy()
+        du = df["dst_url"].to_numpy()
+        n = len(df)
+        empty = np.full(n, "", dtype=object)
+        a = np.concatenate([s, s, d, s, d])
+        b = np.concatenate([d, d, s, np.zeros(n, np.int64), np.zeros(n, np.int64)])
+        url = np.concatenate([su, empty, empty, su, du])
+        url2 = np.concatenate([du, empty, empty, empty, empty])
+        kind = np.repeat(
+            np.array([KIND_EDGE, KIND_UND, KIND_UND, KIND_VERT, KIND_VERT], np.int8),
+            n,
+        )
+        # vertex rows: side_rank 0 for src endpoints (is_user winner)
+        rank = np.concatenate(
+            [np.zeros(3 * n, np.int8), np.zeros(n, np.int8), np.ones(n, np.int8)]
+        )
+        part = (a.astype(np.uint64) % np.uint64(P)).astype(np.int32)
         return pd.DataFrame(
             {
-                "src": np.concatenate([df["src"].to_numpy(), df["dst"].to_numpy()]),
-                "dst": np.concatenate([df["dst"].to_numpy(), df["src"].to_numpy()]),
+                "part": part,
+                "kind": kind,
+                "a": a,
+                "b": b,
+                "url": url,
+                "url2": url2,
+                "rank": rank,
             }
         )
 
-    und = exact_dedup(
-        edges_sd.map_batches(both_dirs, batch_format="pandas"),
-        ["src", "dst"],
-        num_partitions=num_partitions,
-    )
-    _write_partitioned(und, f"{graph_dir}/edges_und", "src", num_partitions)
+    def write_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["part"].iloc[0])
+        counts = {}
+        e = g[g["kind"] == KIND_EDGE].drop_duplicates(subset=["a", "b"])
+        _atomic_write(
+            f"{graph_dir}/edges/part={p}",
+            pa.table(
+                {
+                    "src": e["a"].to_numpy(),
+                    "dst": e["b"].to_numpy(),
+                    "src_url": e["url"].to_numpy().astype(str),
+                    "dst_url": e["url2"].to_numpy().astype(str),
+                }
+            ),
+        )
+        counts["e"] = len(e)
+        u = g[g["kind"] == KIND_UND].drop_duplicates(subset=["a", "b"])
+        _atomic_write(
+            f"{graph_dir}/edges_und/part={p}",
+            pa.table({"src": u["a"].to_numpy(), "dst": u["b"].to_numpy()}),
+        )
+        counts["u"] = len(u)
+        v = (
+            g[g["kind"] == KIND_VERT]
+            .sort_values("rank", kind="stable")
+            .drop_duplicates(subset=["a"], keep="first")
+        )
+        urls = v["url"].to_numpy().astype(str)
+        _atomic_write(
+            f"{graph_dir}/vertices/part={p}",
+            pa.table(
+                {
+                    "vid": v["a"].to_numpy(),
+                    "url": urls,
+                    "host": np.array([host_of(x) for x in urls], dtype=object),
+                    "is_user": (v["rank"].to_numpy() == 0),
+                }
+            ),
+        )
+        counts["v"] = len(v)
+        return pd.DataFrame(
+            {"part": [p], "n_e": [counts["e"]], "n_u": [counts["u"]],
+             "n_v": [counts["v"]]}
+        )
 
-    edge_table = rd.read_parquet(
-        f"{graph_dir}/edges", columns=["src", "dst", "src_url", "dst_url"]
+    counts = (
+        raw_edges.map_batches(tag, batch_format="pandas")
+        .groupby("part")
+        .map_groups(write_part, batch_format="pandas")
+        .to_pandas()
     )
-    verts = _vertices_from_edges(edge_table, num_partitions)
-    _write_partitioned(verts, f"{graph_dir}/vertices", "vid", num_partitions)
-
     meta = {
-        "P": num_partitions,
-        "num_edges": _count_rows(f"{graph_dir}/edges"),
-        "num_edges_und": _count_rows(f"{graph_dir}/edges_und"),
-        "num_vertices": _count_rows(f"{graph_dir}/vertices"),
+        "P": P,
+        "num_edges": int(counts["n_e"].sum()),
+        "num_edges_und": int(counts["n_u"].sum()),
+        "num_vertices": int(counts["n_v"].sum()),
         "lineage": lineage or {},
     }
     with open(f"{graph_dir}/meta.json", "w") as f:
         json.dump(meta, f, indent=2)
     return meta
+
+
+def _atomic_write(part_dir: str, table: pa.Table) -> None:
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = f"{part_dir}/.data.parquet.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, f"{part_dir}/data.parquet")
 
 
 def build_graph(
