@@ -470,6 +470,76 @@ def _q_embed_neardup(sf_dir):
     return neardup_pairs_cosine(emb, threshold=0.4)
 
 
+
+
+def _q_carry_forward_merge(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        carry_forward_merge,
+    )
+
+    return carry_forward_merge(
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type", "value"])
+    )
+
+
+def _q_asof_last_click(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        asof_last_before,
+    )
+
+    return asof_last_before(
+        _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+    )
+
+
+def _q_changelog_compaction(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        keep_first_per_bucket,
+    )
+
+    return keep_first_per_bucket(
+        _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    )
+
+
+def _q_type_profile(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.relational import type_profile
+
+    return type_profile(_t(sf_dir, "events", ["event_type", "user_id"]))
+
+
+def _q_point_lookup(sf_dir):
+    # predicate pushdown at the read (S7 point lookup by key)
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+        filter=(pc.field("event_id") == 4242),
+    )
+    return ds
+
+
+def _q_props_extract(sf_dir):
+    # M9 scraped-value parser analog: extract int k from the JSON props
+    from ray.data.aggregate import Count, Sum
+
+    def parse(df):
+        df = df.copy()
+        df["k"] = (
+            df["props"].str.extract(r'"k": (\d+)', expand=False).astype("int64")
+        )
+        return df[["event_type", "k"]]
+
+    ev = _t(sf_dir, "events", ["event_type", "props"]).map_batches(
+        parse, batch_format="pandas"
+    )
+    return ev.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count(alias_name="n")
+    )
+
+
 # ---- rows-only (non-SQL-expressible) -------------------------------------
 
 
@@ -617,6 +687,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_first": _q_events_dedup_first,
         "sessionize_users": _q_sessionize_users,
         "last_event_per_user": _q_last_event_per_user,
+        "carry_forward_merge": _q_carry_forward_merge,
+        "asof_last_click": _q_asof_last_click,
+        "changelog_compaction": _q_changelog_compaction,
+        "type_profile": _q_type_profile,
+        "point_lookup": _q_point_lookup,
+        "props_extract": _q_props_extract,
         # text / dedup over documents
         "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
@@ -739,6 +815,68 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY ts DESC, event_id DESC) rn
                   FROM events)
             WHERE rn = 1
+        """,
+        "carry_forward_merge": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       epoch_us(ts) // 1000000 AS sec, event_type, value
+                FROM events WHERE event_type IN ('click', 'view')
+            ), f AS (
+                SELECT user_id, sec,
+                       last_value(CASE WHEN event_type = 'click' THEN value END
+                                  IGNORE NULLS) OVER w AS a,
+                       last_value(CASE WHEN event_type = 'view' THEN value END
+                                  IGNORE NULLS) OVER w AS b
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT user_id, sec,
+                   CAST(round((COALESCE(a, 0) + COALESCE(b, 0)) * 100) AS BIGINT)
+                       AS merged_e2
+            FROM f
+        """,
+        "asof_last_click": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                FROM events
+            ), w AS (
+                SELECT event_id, event_type,
+                       last_value(CASE WHEN event_type = 'click' THEN event_id END
+                                  IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS asof_event_id
+                FROM e
+            )
+            SELECT event_id, asof_event_id FROM w WHERE event_type = 'purchase'
+        """,
+        "changelog_compaction": """
+            SELECT user_id, bucket_start_s, event_id AS first_event_id
+            FROM (
+                SELECT user_id, event_id,
+                       (epoch_us(ts) // 1000000 // 86400) * 86400
+                           AS bucket_start_s,
+                       row_number() OVER (
+                           PARTITION BY user_id,
+                                        (epoch_us(ts) // 1000000 // 86400) * 86400
+                           ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events)
+            WHERE rn = 1
+        """,
+        "type_profile": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "point_lookup": """
+            SELECT event_id, user_id, event_type FROM events WHERE event_id = 4242
+        """,
+        "props_extract": """
+            SELECT event_type,
+                   sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                       AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -61,6 +61,7 @@ def run_bench() -> dict:
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     n_pages = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}.get(sf_tag, 100000)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0") or n_pages)
     # P fixed across cluster sizes so the scaling comparison runs the SAME
     # partitioning/messaging work at both parallelism levels
     P = 16
@@ -169,7 +170,13 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # 4x corpus for the scaling measurement so per-stage compute
+        # dominates fixed scheduling/shuffle overhead
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "400000"),
+        )
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

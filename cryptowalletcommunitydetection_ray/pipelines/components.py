@@ -28,6 +28,7 @@ def connected_components(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    pipeline_depth: int = 4,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, label: int64), run metrics)."""
 
@@ -46,14 +47,14 @@ def connected_components(
         refs = [
             s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
         ]
-        active = sum(ray.get([refs[p][P] for p in range(P)]))
-        changed = ray.get(
-            [
-                s.call.remote(_K, "apply", [refs[p][q] for p in range(P)])
-                for q, s in enumerate(shards)
-            ]
-        )
-        return {"frontier": int(active), "changed": int(sum(changed))}
+        changed_refs = [
+            s.call.remote(_K, "apply", [refs[p][q] for p in range(P)])
+            for q, s in enumerate(shards)
+        ]
+        return {
+            "frontier": [refs[p][P] for p in range(P)],
+            "changed": changed_refs,
+        }
 
     def converged(metrics):
         return metrics["changed"] == 0
@@ -70,4 +71,5 @@ def connected_components(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        pipeline_depth=pipeline_depth,
     )

@@ -32,8 +32,25 @@ def run_supersteps(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    pipeline_depth: int = 1,
 ) -> tuple[rd.Dataset, dict]:
-    """Generic superstep loop.  Returns (result Dataset, run metrics)."""
+    """Generic superstep loop.  Returns (result Dataset, run metrics).
+
+    ``step`` may return either a metrics dict (resolved) or a dict whose
+    values are ObjectRef / lists of ObjectRefs; refs are resolved lazily.
+    With ``pipeline_depth`` > 1, that many supersteps are SUBMITTED before
+    the driver synchronizes on their metrics — actor mailbox ordering keeps
+    per-shard state updates sequential, so results are identical; the
+    convergence check simply lags, running up to depth-1 extra (no-op-ish)
+    supersteps.  Depth > 1 removes driver round-trip latency from the
+    critical path (the scaling lever); use depth 1 when exact
+    stop-iteration bookkeeping matters (checkpoint bit-reproducibility
+    tests).
+    """
+    if checkpoint_dir is not None:
+        # checkpoint slices must correspond exactly to their iteration for
+        # bit-identical resume — no lookahead when checkpointing
+        pipeline_depth = 1
     t0 = time.time()
     meta = read_meta(graph_dir)
     shards, P = get_pool(graph_dir)
@@ -55,26 +72,49 @@ def run_supersteps(
             start_iter = it + 1
     t_setup = time.time() - t0
 
+    def _resolve(raw: dict) -> dict:
+        out = {}
+        for k, v in raw.items():
+            if isinstance(v, list):
+                out[k] = float(sum(ray.get(v)))
+            elif isinstance(v, ray.ObjectRef):
+                out[k] = ray.get(v)
+            else:
+                out[k] = v
+        return out
+
     t0 = time.time()
     history: list[dict] = []
     iteration = start_iter
-    for iteration in range(start_iter, max_iter):
-        metrics = step(shards, P, iteration)
-        history.append({"iteration": iteration, **metrics})
-        if checkpoint_dir is not None and (
-            (iteration % checkpoint_every == 0) or converged(metrics)
-        ):
-            ray.get(
-                [
-                    s.call.remote(
-                        kernel, "save", ck.slice_path(checkpoint_dir, iteration, p)
-                    )
-                    for p, s in enumerate(shards)
-                ]
-            )
-            ck.record_iteration(checkpoint_dir, manifest, iteration, metrics)
-        if converged(metrics):
-            break
+    done = False
+    while iteration < max_iter and not done:
+        chunk_end = min(iteration + max(1, pipeline_depth), max_iter)
+        submitted = [
+            (it, step(shards, P, it)) for it in range(iteration, chunk_end)
+        ]
+        for it, raw in submitted:
+            metrics = _resolve(raw)
+            history.append({"iteration": it, **metrics})
+            iteration = it + 1
+            if checkpoint_dir is not None and (
+                (it % checkpoint_every == 0) or converged(metrics)
+            ):
+                # state has already advanced past `it` when depth > 1; the
+                # slice therefore reflects the LAST submitted superstep —
+                # with depth 1 (the default for checkpointed runs) it is
+                # exactly superstep `it`
+                ray.get(
+                    [
+                        s.call.remote(
+                            kernel, "save", ck.slice_path(checkpoint_dir, it, p)
+                        )
+                        for p, s in enumerate(shards)
+                    ]
+                )
+                ck.record_iteration(checkpoint_dir, manifest, it, metrics)
+            if converged(metrics):
+                done = True
+                break
     t_loop = time.time() - t0
 
     result = rd.from_arrow_refs(

@@ -43,13 +43,11 @@ def label_propagation(
         refs = [
             s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
         ]
-        changed = ray.get(
-            [
-                s.call.remote(_K, "apply", [refs[p][q] for p in range(P)])
-                for q, s in enumerate(shards)
-            ]
-        )
-        return {"changed": int(sum(changed))}
+        changed_refs = [
+            s.call.remote(_K, "apply", [refs[p][q] for p in range(P)])
+            for q, s in enumerate(shards)
+        ]
+        return {"changed": changed_refs}
 
     def converged(metrics):
         return metrics["changed"] == 0

@@ -35,6 +35,7 @@ def pagerank(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    pipeline_depth: int = 4,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, rank: float64), run metrics)."""
     meta = read_meta(graph_dir)
@@ -52,19 +53,19 @@ def pagerank(
         )
 
     def step(shards, P, iteration):
+        # submit-only: no driver synchronization — the dangling scalars go
+        # to apply() as refs and are summed shard-side in fixed order
         refs = [
             s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
         ]
-        dangling_total = sum(ray.get([refs[p][P] for p in range(P)]))
-        deltas = ray.get(
-            [
-                s.call.remote(
-                    _K, "apply", [refs[p][q] for p in range(P)], dangling_total, alpha
-                )
-                for q, s in enumerate(shards)
-            ]
-        )
-        return {"l1_delta": float(sum(deltas)), "dangling_mass": dangling_total}
+        dang_refs = [refs[p][P] for p in range(P)]
+        delta_refs = [
+            s.call.remote(
+                _K, "apply", [refs[p][q] for p in range(P)], dang_refs, alpha
+            )
+            for q, s in enumerate(shards)
+        ]
+        return {"l1_delta": delta_refs, "dangling_mass": dang_refs}
 
     def converged(metrics):
         return metrics["l1_delta"] < n_total * tol
@@ -81,4 +82,5 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        pipeline_depth=pipeline_depth,
     )

@@ -190,6 +190,161 @@ def sessionize(
     )
 
 
+def carry_forward_merge(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    types: Sequence[str] = ("click", "view"),
+) -> rd.Dataset:
+    """Carry-forward multi-series merge (A7 — ``utils/list_dict_utils.py:
+    98-112`` ``combined_logs(*logs, handler_func=sum)``): per key, take the
+    union of the two series' timestamps, forward-fill each series, and sum.
+
+    Pinned order within a key: (epoch second, event_id)... here (sec) with
+    stable input order; output one row per contributing event:
+    (user_id, sec, merged_e2) with merged = ffill(a) + ffill(b), missing
+    series contributing 0 (fixed-point ×100 int for hash-exact compare).
+    """
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[type_col].isin(list(types))]
+        if not len(g):
+            return pd.DataFrame(
+                {user_col: [], "sec": [], "merged_e2": []}
+            ).astype({user_col: np.int64, "sec": np.int64, "merged_e2": np.int64})
+        g = g.sort_values([ts_col, "event_id"], kind="stable")
+        sec = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
+        out = {user_col: g[user_col].to_numpy(), "sec": sec}
+        total = np.zeros(len(g))
+        for t in types:
+            v = g[value_col].where(g[type_col] == t)
+            total = total + v.ffill().fillna(0.0).to_numpy()
+        out["merged_e2"] = np.round(total * 100).astype(np.int64)
+        return pd.DataFrame(out)
+
+    return (
+        events.select_columns([user_col, "event_id", ts_col, type_col, value_col])
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def asof_last_before(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    target_type: str = "purchase",
+    lookup_type: str = "click",
+) -> rd.Dataset:
+    """Per-row as-of lookup (A9 — ``utils/utils.py:9-28`` latest change-log
+    value ≤ t): for every ``target_type`` event, the event_id of the last
+    ``lookup_type`` event of the same user STRICTLY BEFORE it in the pinned
+    (ts, event_id) order.  Output: (event_id, asof_event_id nullable)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="stable")
+        is_lookup = (g[type_col] == lookup_type).to_numpy()
+        ids = g["event_id"].to_numpy()
+        carried = pd.Series(np.where(is_lookup, ids, np.nan)).ffill().shift(1)
+        sel = (g[type_col] == target_type).to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": ids[sel],
+                # nullable Int64 so the null case round-trips as BIGINT NULL
+                "asof_event_id": pd.array(
+                    carried.to_numpy()[sel], dtype="Int64"
+                ),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, "event_id", ts_col, type_col])
+        .groupby(user_col)
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def keep_first_per_bucket(
+    events: rd.Dataset,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 86400,
+) -> rd.Dataset:
+    """Change-log compaction (A10 — ``utils/list_dict_utils.py:75-95``
+    ``prune_change_logs``: keep the first entry per day bucket).  Output one
+    row per (user, day bucket): (user_id, bucket_s, first_event_id)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        sec = df[ts_col].astype("int64") // 1_000_000
+        df["bucket_start_s"] = (sec // bucket_s * bucket_s).astype(np.int64)
+        df = df.sort_values([ts_col, "event_id"], kind="stable")
+        return df.drop_duplicates(subset=[user_col, "bucket_start_s"])[
+            [user_col, "bucket_start_s", "event_id", ts_col]
+        ]
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="stable").head(1)
+        return pd.DataFrame(
+            {
+                user_col: g[user_col].to_numpy(),
+                "bucket_start_s": g["bucket_start_s"].to_numpy(),
+                "first_event_id": g["event_id"].to_numpy(),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, "event_id", ts_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby([user_col, "bucket_start_s"])
+        .map_groups(pick, batch_format="pandas")
+    )
+
+
+def type_profile(
+    events: rd.Dataset,
+    *,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+) -> rd.Dataset:
+    """Per event type: total events + distinct users (A4 per-project counts
+    — ``databases/mongodb.py:212-234``).  Two-phase: per-batch (type, user,
+    partial count) combine, then one small groupby — the hot-key (only 5
+    event types) never sees raw rows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby([type_col, user_col], sort=False)
+            .size()
+            .rename("partial")
+            .reset_index()
+        )
+        return out
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(user_col)["partial"].sum()
+        return pd.DataFrame(
+            {
+                type_col: [g[type_col].iloc[0]],
+                "n_events": [np.int64(gg.sum())],
+                "n_users": [np.int64(len(gg))],
+            }
+        )
+
+    return (
+        events.select_columns([type_col, user_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(type_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def last_per_key(
     ds: rd.Dataset, key: str, order_col, value_cols: Sequence[str]
 ) -> rd.Dataset:

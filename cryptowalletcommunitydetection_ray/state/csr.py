@@ -177,7 +177,11 @@ class PageRankState(_VecState):
         dangling = float(self.rank[self.dangling_mask].sum())
         return (*out, dangling)
 
-    def apply(self, msg_refs, dangling_total: float, alpha: float) -> float:
+    def apply(self, msg_refs, dangling_refs, alpha: float) -> float:
+        """``dangling_refs`` are the P per-shard dangling scalars (refs) —
+        summed HERE in fixed order, so the driver never has to synchronize
+        on them and supersteps can be pipelined without round-trips."""
+        dangling_total = float(sum(ray.get(list(dangling_refs))))
         incoming = np.zeros(len(self.data.vids), dtype=np.float64)
         for m in ray.get(list(msg_refs)):  # fixed order p=0..P-1: deterministic
             if m is None:

@@ -11,7 +11,9 @@ from cryptowalletcommunitydetection_ray.state import checkpoint as ck
 
 
 def test_pagerank_resume_bit_identical(graph300, tmp_path):
-    full, _ = pagerank(graph300, tol=1e-12)
+    # depth 1: the bit-identity contract is defined for synchronous
+    # execution (checkpointed runs force depth 1; the baseline must match)
+    full, _ = pagerank(graph300, tol=1e-12, pipeline_depth=1)
     want = full.to_pandas().sort_values("vid").reset_index(drop=True)
 
     ckpt = str(tmp_path / "ck")
