@@ -62,9 +62,10 @@ def run_bench() -> dict:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     n_pages = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}.get(sf_tag, 100000)
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0") or n_pages)
-    # P fixed across cluster sizes so the scaling comparison runs the SAME
-    # partitioning/messaging work at both parallelism levels
-    P = 16
+    # P scales with the cluster, as a real deployment would (more nodes →
+    # more shards/reduce tasks); a fixed P caps reduce-stage parallelism at
+    # P regardless of cluster size
+    P = max(8, num_cpus)
 
     # corpus on disk (untimed, cached across runs); also warms the page cache
     corpus = f"/tmp/cwcd_bench/pages_{n_pages}"
@@ -175,7 +176,7 @@ def run_scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "400000"),
+            GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "800000"),
         )
         res = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
