@@ -62,10 +62,10 @@ def run_bench() -> dict:
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     n_pages = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}.get(sf_tag, 100000)
     n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0") or n_pages)
-    # P scales with the cluster, as a real deployment would (more nodes →
-    # more shards/reduce tasks); a fixed P caps reduce-stage parallelism at
-    # P regardless of cluster size
-    P = max(8, num_cpus)
+    # Storage subpartitions: fixed at build time, sized for reduce-stage
+    # parallelism and per-task memory — NOT for the cluster.  Kernel pools
+    # pick their own size (a divisor of SP matched to the cluster).
+    P = 128
 
     # corpus on disk (untimed, cached across runs); also warms the page cache
     corpus = f"/tmp/cwcd_bench/pages_{n_pages}"
@@ -171,15 +171,19 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        # 4x corpus for the scaling measurement so per-stage compute
-        # dominates fixed scheduling/shuffle overhead
+        # Fresh process at each parallelism level.  ``taskset`` pins the
+        # process tree to ncpu PHYSICAL cores — the honest single-box
+        # emulation of an N-node vs 4N-node cluster (ray's num_cpus only
+        # throttles task scheduling, not actors' actual CPU use).  Bigger
+        # corpus so per-stage compute dominates fixed scheduling overhead.
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "800000"),
         )
         res = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+             os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,

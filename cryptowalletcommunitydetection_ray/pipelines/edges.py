@@ -271,8 +271,32 @@ def read_meta(graph_dir: str) -> dict:
         return json.load(f)
 
 
+def read_shard(
+    graph_dir: str, artifact: str, shard: int, nshards: int, columns=None
+) -> pa.Table:
+    """Read shard ``shard`` of ``nshards`` from an artifact written with SP
+    subpartitions: the union of subpartitions ``s ≡ shard (mod nshards)``.
+
+    Because subpartitioning is ``key % SP`` and ``nshards`` divides SP,
+    every key with ``key % nshards == shard`` lands in exactly those
+    subpartitions — so ONE artifact layout (SP fixed at build time, sized
+    for storage/reduce parallelism) serves pools of any divisor size
+    (sized for the cluster)."""
+    sp = read_meta(graph_dir)["P"]
+    if sp % nshards != 0:
+        raise ValueError(f"pool size {nshards} must divide SP={sp}")
+    tables = []
+    for s in range(shard, sp, nshards):
+        t = read_part(graph_dir, artifact, s, columns)
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return pa.table({c: pa.array([], pa.int64()) for c in (columns or [])})
+    return pa.concat_tables(tables)
+
+
 def read_part(graph_dir: str, artifact: str, part: int, columns=None) -> pa.Table:
-    """Read one hash partition of an artifact (used inside shard actors)."""
+    """Read one hash subpartition of an artifact."""
     path = f"{graph_dir}/{artifact}/part={part}"
     if not os.path.isdir(path):
         return pa.table({c: pa.array([], pa.int64()) for c in (columns or [])})

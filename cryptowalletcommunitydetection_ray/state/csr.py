@@ -43,7 +43,7 @@ import pyarrow.parquet as pq
 
 import ray
 
-from ..pipelines.edges import read_part
+from ..pipelines.edges import read_shard
 
 
 def _col(t: pa.Table, name: str) -> np.ndarray:
@@ -57,7 +57,7 @@ class _Csr:
     (dst_partition, dst); per-q segment ids precomputed for local combine)."""
 
     def __init__(self, graph_dir, part, nparts, artifact, vids):
-        t = read_part(graph_dir, artifact, part, ["src", "dst"])
+        t = read_shard(graph_dir, artifact, part, nparts, ["src", "dst"])
         src = _col(t, "src")
         dst = _col(t, "dst")
         dst_part = (dst.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
@@ -96,7 +96,9 @@ class ShardData:
     @property
     def vids(self) -> np.ndarray:
         if self._vids is None:
-            vt = read_part(self.graph_dir, "vertices", self.part, ["vid"])
+            vt = read_shard(
+                self.graph_dir, "vertices", self.part, self.nparts, ["vid"]
+            )
             self._vids = np.sort(_col(vt, "vid"))
         return self._vids
 
@@ -110,8 +112,9 @@ class ShardData:
     def vertex_attrs(self):
         """(url, is_user) arrays aligned with the sorted ``vids`` slice."""
         if not hasattr(self, "_attrs"):
-            vt = read_part(
-                self.graph_dir, "vertices", self.part, ["vid", "url", "is_user"]
+            vt = read_shard(
+                self.graph_dir, "vertices", self.part, self.nparts,
+                ["vid", "url", "is_user"],
             )
             v = _col(vt, "vid")
             order = np.argsort(v, kind="stable")

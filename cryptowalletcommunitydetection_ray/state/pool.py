@@ -18,14 +18,30 @@ import ray
 from ..pipelines.edges import read_meta
 from .csr import KernelShard
 
-_POOLS: dict[str, tuple[list, int]] = {}
+_POOLS: dict[tuple[str, int], tuple[list, int]] = {}
 
 
-def get_pool(graph_dir: str) -> tuple[list, int]:
-    key = os.path.abspath(graph_dir)
+def default_pool_size(sp: int) -> int:
+    """Largest divisor of SP that is ≤ the session CPU count (pool size
+    tracks the cluster; the artifact layout does not)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    p = 1
+    for cand in range(1, sp + 1):
+        if sp % cand == 0 and cand <= cpus:
+            p = cand
+    return max(2, p)
+
+
+def get_pool(graph_dir: str, nparts: int | None = None) -> tuple[list, int]:
+    sp = read_meta(graph_dir)["P"]
+    P = nparts or default_pool_size(sp)
+    if sp % P != 0:
+        raise ValueError(f"pool size {P} must divide SP={sp}")
+    key = (os.path.abspath(graph_dir), P)
     got = _POOLS.get(key)
     if got is None:
-        P = read_meta(graph_dir)["P"]
         shards = [KernelShard.remote(graph_dir, p, P) for p in range(P)]
         got = (shards, P)
         _POOLS[key] = got
@@ -33,9 +49,10 @@ def get_pool(graph_dir: str) -> tuple[list, int]:
 
 
 def close_pool(graph_dir: str) -> None:
-    got = _POOLS.pop(os.path.abspath(graph_dir), None)
-    if got:
-        for a in got[0]:
+    key_dir = os.path.abspath(graph_dir)
+    for key in [k for k in _POOLS if k[0] == key_dir]:
+        shards, _ = _POOLS.pop(key)
+        for a in shards:
             ray.kill(a)
 
 

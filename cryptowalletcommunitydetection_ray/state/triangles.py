@@ -36,7 +36,7 @@ import pyarrow as pa
 
 import ray
 
-from ..pipelines.edges import read_part
+from ..pipelines.edges import read_shard
 from .csr import ShardData, _col
 
 
@@ -44,7 +44,7 @@ class TriangleState:
     def __init__(self, data: ShardData):
         self.data = data
         nparts = data.nparts
-        t = read_part(data.graph_dir, "edges_und", data.part, ["src", "dst"])
+        t = read_shard(data.graph_dir, "edges_und", data.part, data.nparts, ["src", "dst"])
         src = _col(t, "src")
         dst = _col(t, "dst")
         keep = src != dst  # triangles ignore self-loops

@@ -1,0 +1,146 @@
+"""CLI for the link-graph engine (the reference's ``run.py`` analog,
+``ray job submit``-able).
+
+    python run.py synth      --out /tmp/pages --pages 10000
+    python run.py build      --pages-dir /tmp/pages --graph /tmp/g --partitions 8
+    python run.py pagerank   --graph /tmp/g [--checkpoint /tmp/ck --resume] [--out DIR]
+    python run.py cc         --graph /tmp/g [--checkpoint /tmp/ck --resume] [--out DIR]
+    python run.py lpa        --graph /tmp/g [--out DIR]
+    python run.py communities --graph /tmp/g [--min-user N --top K] [--out DIR]
+    python run.py triangles  --graph /tmp/g [--out DIR]
+
+Owns its Ray session (scripts and CLIs only — library code never calls
+``ray.init``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="run.py")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth")
+    p.add_argument("--out", required=True)
+    p.add_argument("--pages", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=42)
+
+    p = sub.add_parser("build")
+    p.add_argument("--pages-dir", required=True)
+    p.add_argument("--graph", required=True)
+    p.add_argument("--partitions", type=int, default=0)
+
+    for name in ("pagerank", "cc", "lpa", "communities", "triangles"):
+        p = sub.add_parser(name)
+        p.add_argument("--graph", required=True)
+        p.add_argument("--out", default=None, help="write result parquet here")
+        if name in ("pagerank", "cc"):
+            p.add_argument("--checkpoint", default=None)
+            p.add_argument("--resume", action="store_true")
+        if name == "pagerank":
+            p.add_argument("--alpha", type=float, default=0.85)
+            p.add_argument("--tol", type=float, default=1e-10)
+        if name == "communities":
+            p.add_argument("--min-user", type=int, default=0)
+            p.add_argument("--top", type=int, default=0)
+
+    args = ap.parse_args(argv)
+
+    import logging
+
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0") or os.cpu_count()),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from cryptowalletcommunitydetection_ray.context import (
+        default_num_partitions,
+        quiet_data_context,
+    )
+
+    quiet_data_context()
+
+    result_ds, metrics = None, {}
+    if args.cmd == "synth":
+        from cryptowalletcommunitydetection_ray.sources.pages import write_pages
+
+        write_pages(args.out, args.pages, seed=args.seed)
+        metrics = {"written": args.out, "pages": args.pages}
+    elif args.cmd == "build":
+        import ray.data as rd
+
+        from cryptowalletcommunitydetection_ray.pipelines.edges import build_graph
+
+        P = args.partitions or default_num_partitions()
+        metrics = build_graph(
+            rd.read_parquet(args.pages_dir),
+            args.graph,
+            P,
+            lineage={"pages_dir": args.pages_dir},
+        )
+    elif args.cmd == "pagerank":
+        from cryptowalletcommunitydetection_ray.pipelines.pagerank import pagerank
+
+        result_ds, metrics = pagerank(
+            args.graph,
+            alpha=args.alpha,
+            tol=args.tol,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
+        )
+    elif args.cmd == "cc":
+        from cryptowalletcommunitydetection_ray.pipelines.components import (
+            connected_components,
+        )
+
+        result_ds, metrics = connected_components(
+            args.graph, checkpoint_dir=args.checkpoint, resume=args.resume
+        )
+    elif args.cmd == "lpa":
+        from cryptowalletcommunitydetection_ray.pipelines.labelprop import (
+            label_propagation,
+        )
+
+        result_ds, metrics = label_propagation(args.graph)
+    elif args.cmd == "communities":
+        from cryptowalletcommunitydetection_ray.pipelines.communities import (
+            detect_communities,
+            top_communities,
+        )
+
+        result_ds, metrics = detect_communities(args.graph)
+        if args.min_user or args.top:
+            result_ds = top_communities(
+                result_ds, min_user=args.min_user, k=args.top or None
+            )
+    elif args.cmd == "triangles":
+        from cryptowalletcommunitydetection_ray.pipelines.triangles import (
+            triangle_counts,
+        )
+
+        result_ds, metrics = triangle_counts(args.graph)
+
+    if result_ds is not None and getattr(args, "out", None):
+        result_ds.write_parquet(args.out)
+        metrics["out"] = args.out
+    elif result_ds is not None:
+        metrics["rows"] = result_ds.count()
+
+    metrics.pop("history", None)
+    print(json.dumps(metrics, default=str))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
