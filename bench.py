@@ -89,27 +89,37 @@ def run_bench() -> dict:
     pages = rd.read_parquet(corpus)
     meta = timed("build_graph", lambda: build_graph(pages, graph_dir, P))
 
+    # per-kernel pool sizing: the message-latency-bound kernels (PageRank,
+    # CC) run on a small FIXED pool at every cluster size (their per-shard
+    # compute is tiny at this graph size; messages cost P²); the
+    # compute-bound triangle protocol scales its pool with the cluster.
+    KP = 8
     pr_result = {}
 
     def run_pr():
-        ranks, m = pagerank(graph_dir, tol=1e-10)
+        ranks, m = pagerank(graph_dir, tol=1e-10, pool_size=KP)
         ranks.materialize()
         pr_result.update(m)
 
     timed("pagerank", run_pr)
 
-    cc_labels = {}
-
     def run_cc():
-        labels, _ = connected_components(graph_dir)
-        cc_labels["ds"] = labels.materialize()
+        labels, _ = connected_components(graph_dir, pool_size=KP)
+        labels.materialize()
 
     timed("connected_components", run_cc)
     timed(
         "communities",
-        lambda: community_members_from_pool(graph_dir).materialize(),
+        lambda: community_members_from_pool(
+            graph_dir, pool_size=KP
+        ).materialize(),
     )
-    timed("triangles", lambda: triangle_counts(graph_dir)[0].materialize())
+    timed(
+        "triangles",
+        lambda: triangle_counts(graph_dir, pool_size=min(P, num_cpus))[
+            0
+        ].materialize(),
+    )
 
     # operator benchmarks over the sf tables
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

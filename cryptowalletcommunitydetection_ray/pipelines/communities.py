@@ -59,15 +59,24 @@ def _collect_communities(tagged: rd.Dataset, chain: str) -> rd.Dataset:
     return tagged.groupby("label").map_groups(collect, batch_format="pandas")
 
 
-def community_members_from_pool(graph_dir: str, *, chain: str = "web") -> rd.Dataset:
+def community_members_from_pool(
+    graph_dir: str, *, chain: str = "web", pool_size: int | None = None
+) -> rd.Dataset:
     """Fast path: read labeled vertices straight out of the converged CC
     shard states — the label⋈attributes "join" is partition-local and free
-    (requires ``connected_components`` to have just run on this graph)."""
+    (requires ``connected_components`` to have just run on this graph with
+    the SAME pool size)."""
     import ray
 
     from ..state.pool import get_pool
 
-    shards, _ = get_pool(graph_dir)
+    shards, _ = get_pool(graph_dir, pool_size)
+    if not all(ray.get([s.has_kernel.remote("cc") for s in shards])):
+        raise RuntimeError(
+            "community_members_from_pool: no converged CC state in this "
+            "pool — run connected_components(graph_dir, pool_size=...) with "
+            "the same pool size first"
+        )
     tagged = rd.from_arrow_refs(
         [s.call.remote("cc", "get_labeled_vertices") for s in shards]
     )
@@ -129,6 +138,7 @@ def detect_communities(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    pool_size: int | None = None,
 ) -> tuple[rd.Dataset, dict]:
     """End-to-end: CC to fixpoint, then per-community membership rows
     (the fast pool path: labels never leave their shard for the join)."""
@@ -137,8 +147,11 @@ def detect_communities(
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
+        pool_size=pool_size,
     )
-    return community_members_from_pool(graph_dir, chain=chain), metrics
+    return community_members_from_pool(
+        graph_dir, chain=chain, pool_size=pool_size
+    ), metrics
 
 
 def top_communities(

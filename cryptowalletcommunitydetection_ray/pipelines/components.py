@@ -29,6 +29,7 @@ def connected_components(
     checkpoint_every: int = 5,
     resume: bool = False,
     pipeline_depth: int = 4,
+    pool_size: int | None = None,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, label: int64), run metrics)."""
 
@@ -72,4 +73,5 @@ def connected_components(
         checkpoint_every=checkpoint_every,
         resume=resume,
         pipeline_depth=pipeline_depth,
+        pool_size=pool_size,
     )

@@ -147,7 +147,7 @@ def build_graph_from_edges(
     os.makedirs(graph_dir, exist_ok=True)
     P = num_partitions
 
-    KIND_EDGE, KIND_UND, KIND_VERT = 0, 1, 2
+    KIND_EDGE, KIND_UND = 0, 1
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         # local pre-dedup shrinks the shuffle
@@ -158,17 +158,19 @@ def build_graph_from_edges(
         du = df["dst_url"].to_numpy()
         n = len(df)
         empty = np.full(n, "", dtype=object)
-        a = np.concatenate([s, s, d, s, d])
-        b = np.concatenate([d, d, s, np.zeros(n, np.int64), np.zeros(n, np.int64)])
-        url = np.concatenate([su, empty, empty, su, du])
-        url2 = np.concatenate([du, empty, empty, empty, empty])
-        kind = np.repeat(
-            np.array([KIND_EDGE, KIND_UND, KIND_UND, KIND_VERT, KIND_VERT], np.int8),
-            n,
-        )
-        # vertex rows: side_rank 0 for src endpoints (is_user winner)
+        # 3 routed rows per edge: the directed edge (with both urls) and the
+        # two undirected orientations, each carrying ITS OWN src endpoint's
+        # url + side rank — partition p's vertex table is derived from the
+        # und rows it receives (every vertex appears as und-src in its own
+        # partition), so no separate vertex rows travel.
+        a = np.concatenate([s, s, d])
+        b = np.concatenate([d, d, s])
+        url = np.concatenate([su, su, du])
+        url2 = np.concatenate([du, empty, empty])
+        kind = np.repeat(np.array([KIND_EDGE, KIND_UND, KIND_UND], np.int8), n)
+        # side rank 0 = this endpoint appears as a directed src (is_user)
         rank = np.concatenate(
-            [np.zeros(3 * n, np.int8), np.zeros(n, np.int8), np.ones(n, np.int8)]
+            [np.zeros(2 * n, np.int8), np.ones(n, np.int8)]
         )
         part = (a.astype(np.uint64) % np.uint64(P)).astype(np.int32)
         return pd.DataFrame(
@@ -199,15 +201,15 @@ def build_graph_from_edges(
             ),
         )
         counts["e"] = len(e)
-        u = g[g["kind"] == KIND_UND].drop_duplicates(subset=["a", "b"])
+        u_all = g[g["kind"] == KIND_UND]
+        u = u_all.drop_duplicates(subset=["a", "b"])
         _atomic_write(
             f"{graph_dir}/edges_und/part={p}",
             pa.table({"src": u["a"].to_numpy(), "dst": u["b"].to_numpy()}),
         )
         counts["u"] = len(u)
         v = (
-            g[g["kind"] == KIND_VERT]
-            .sort_values("rank", kind="stable")
+            u_all.sort_values("rank", kind="stable")
             .drop_duplicates(subset=["a"], keep="first")
         )
         urls = v["url"].to_numpy().astype(str)

@@ -33,6 +33,7 @@ def run_supersteps(
     checkpoint_every: int = 1,
     resume: bool = False,
     pipeline_depth: int = 1,
+    pool_size: int | None = None,
 ) -> tuple[rd.Dataset, dict]:
     """Generic superstep loop.  Returns (result Dataset, run metrics).
 
@@ -53,7 +54,7 @@ def run_supersteps(
         pipeline_depth = 1
     t0 = time.time()
     meta = read_meta(graph_dir)
-    shards, P = get_pool(graph_dir)
+    shards, P = get_pool(graph_dir, pool_size)
     ray.get([s.reset.remote(kernel) for s in shards])  # fresh kernel state
     init(shards, P)
 

@@ -25,6 +25,7 @@ def label_propagation(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     resume: bool = False,
+    pool_size: int | None = None,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, label: int64), run metrics)."""
 
@@ -64,4 +65,5 @@ def label_propagation(
         checkpoint_dir=checkpoint_dir,
         checkpoint_every=checkpoint_every,
         resume=resume,
+        pool_size=pool_size,
     )

@@ -36,6 +36,7 @@ def pagerank(
     checkpoint_every: int = 5,
     resume: bool = False,
     pipeline_depth: int = 4,
+    pool_size: int | None = None,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, rank: float64), run metrics)."""
     meta = read_meta(graph_dir)
@@ -83,4 +84,5 @@ def pagerank(
         checkpoint_every=checkpoint_every,
         resume=resume,
         pipeline_depth=pipeline_depth,
+        pool_size=pool_size,
     )

@@ -34,13 +34,13 @@ _K = "triangles"
 def triangle_counts(
     graph_dir: str,
     *,
-    num_partitions: int | None = None,
+    pool_size: int | None = None,
     wedge_block: int = 200_000,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, triangles: int64), metrics)."""
     t0 = time.time()
     meta = read_meta(graph_dir)
-    shards, P = get_pool(graph_dir)
+    shards, P = get_pool(graph_dir, pool_size)
     assert P >= 2, "triangle protocol requires >= 2 partitions"
     ray.get([s.reset.remote(_K) for s in shards])
 

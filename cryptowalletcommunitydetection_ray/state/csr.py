@@ -366,5 +366,8 @@ class KernelShard:
         """Drop a kernel's state so the next call starts fresh."""
         self._kernels.pop(name, None)
 
+    def has_kernel(self, name: str) -> bool:
+        return name in self._kernels
+
     def call(self, kernel: str, method: str, *args):
         return getattr(self._kernel(kernel), method)(*args)
