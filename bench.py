@@ -68,14 +68,14 @@ def run_bench() -> dict:
     P = 128
 
     # corpus on disk (untimed, cached across runs); also warms the page cache
-    corpus = f"/tmp/cwcd_bench/pages_{n_pages}"
+    corpus = f"/dev/shm/cwcd_bench/pages_{n_pages}"
     if not os.path.exists(f"{corpus}/_DONE"):
         shutil.rmtree(corpus, ignore_errors=True)
         write_pages(corpus, n_pages, override_num_blocks=max(8, num_cpus))
         open(f"{corpus}/_DONE", "w").write("ok")
     rd.read_parquet(corpus).count()  # warm cache, untimed
 
-    graph_dir = f"/tmp/cwcd_bench/graph_{n_pages}_{num_cpus}_{os.getpid()}"
+    graph_dir = f"/dev/shm/cwcd_bench/graph_{n_pages}_{num_cpus}_{os.getpid()}"
     shutil.rmtree(graph_dir, ignore_errors=True)
 
     timings: dict[str, float] = {}
