@@ -83,6 +83,57 @@ def community_members_from_pool(
     return _collect_communities(tagged, chain)
 
 
+def community_sizes(
+    graph_dir: str, *, chain: str = "web", pool_size: int | None = None
+) -> rd.Dataset:
+    """Scalable community summary: (_id, num_user, num_depo, chain) — the
+    membership TABLE stays distributed (labels in shard state / parquet);
+    only per-component counts aggregate.  At 10^12 docs this is the usable
+    output shape (a giant component's member LIST is not); two-phase sums,
+    so the giant component costs O(P), not O(members)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..state.pool import get_pool
+
+    shards, _ = get_pool(graph_dir, pool_size)
+    if not all(ray.get([s.has_kernel.remote("cc") for s in shards])):
+        raise RuntimeError("run connected_components on this pool first")
+    tagged = rd.from_arrow_refs(
+        [s.call.remote("cc", "get_labeled_vertices") for s in shards]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["is_user"].to_numpy(dtype=bool).astype(np.int64)
+        out = (
+            pd.DataFrame({"label": df["label"], "u": u, "d": 1 - u})
+            .groupby("label", sort=False)
+            .sum()
+            .reset_index()
+        )
+        return out
+
+    agg = (
+        tagged.map_batches(partial, batch_format="pandas")
+        .groupby("label")
+        .aggregate(
+            Sum("u", alias_name="num_user"), Sum("d", alias_name="num_depo")
+        )
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_id": df["label"].to_numpy(),
+                "num_user": df["num_user"].to_numpy(),
+                "num_depo": df["num_depo"].to_numpy(),
+                "chain": [chain] * len(df),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def community_members(
     graph_dir: str,
     labels: rd.Dataset,

@@ -35,7 +35,7 @@ def triangle_counts(
     graph_dir: str,
     *,
     pool_size: int | None = None,
-    wedge_block: int = 200_000,
+    wedge_block: int = 25_000,
 ) -> tuple[rd.Dataset, dict]:
     """Returns (Dataset(vid: int64, triangles: int64), metrics)."""
     t0 = time.time()
