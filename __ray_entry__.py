@@ -658,6 +658,69 @@ def _q_lsh_neardup_cosine(sf_dir):
     return lsh_neardup_pairs_cosine(emb, threshold=0.4, dim=64, n_bits=8)
 
 
+
+
+def _host_graph(sf_dir: str) -> str:
+    """Page→host bipartite graph derived from the url-level pages graph."""
+    from cryptowalletcommunitydetection_ray.pipelines.communities import (
+        host_community_edges,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.edges import (
+        build_graph_from_edges,
+    )
+
+    base = _pages_graph(sf_dir)
+    d = base + "_hosts"
+    if not os.path.exists(f"{d}/meta.json"):
+        build_graph_from_edges(
+            host_community_edges(base), d, _P,
+            lineage={"source": "page->host bipartite", "base": base},
+        )
+    return d
+
+
+def _q_host_communities_pages(sf_dir):
+    """The reference's wallet-community semantics over web hosts: CC of the
+    page→host bipartite graph, user = page, deposit = host."""
+    from cryptowalletcommunitydetection_ray.pipelines.communities import (
+        detect_communities,
+    )
+
+    comms, _ = detect_communities(_host_graph(sf_dir), chain="web")
+    return comms.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "_id": df["_id"].to_numpy(),
+                "num_user": df["num_user"].to_numpy(),
+                "num_depo": df["num_depo"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_degree_census(sf_dir):
+    """(vid, deg) over the co-purchase graph — groupby degree census."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from cryptowalletcommunitydetection_ray.context import sanitize_for_join
+
+    g = _copurchase_graph(sf_dir)
+    edges = rd.read_parquet(f"{g}/edges_und", columns=["src"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["src"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"vid": u, "partial": c.astype(np.int64)})
+
+    return sanitize_for_join(
+        edges.map_batches(partial, batch_format="pandas")
+        .groupby("vid")
+        .aggregate(Sum("partial", alias_name="deg")),
+        pa.schema([("vid", pa.int64()), ("deg", pa.int64())]),
+    )
+
+
 # --------------------------------------------------------------------------
 
 
@@ -715,6 +778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "communities_pages": _q_communities_pages,
         "triangles_pages": _q_triangles_pages,
         "labelprop_pages": _q_labelprop_pages,
+        "host_communities_pages": _q_host_communities_pages,
+        "degree_census": _q_degree_census,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
     }
@@ -942,6 +1007,19 @@ def oracle_sql() -> dict[str, str]:
             FROM membership m
             JOIN (SELECT comp, min(vid) AS label FROM membership GROUP BY comp) lbl
               USING (comp)
+        """,
+        "degree_census": """
+            WITH pairs AS (
+                SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS x,
+                                greatest(a.l_partkey, b.l_partkey) AS y
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+            ), und AS (
+                SELECT x AS v, y AS w FROM pairs
+                UNION ALL SELECT y, x FROM pairs
+            )
+            SELECT v AS vid, count(*) AS deg FROM und GROUP BY v
         """,
         "triangles_copurchase": """
             WITH pairs AS (

@@ -114,9 +114,7 @@ def run_bench() -> dict:
     )
     timed(
         "triangles",
-        lambda: triangle_counts(graph_dir, pool_size=min(P, num_cpus))[
-            0
-        ].materialize(),
+        lambda: triangle_counts(graph_dir, pool_size=KP)[0].materialize(),
     )
 
     # operator benchmarks over the sf tables

@@ -205,6 +205,35 @@ def detect_communities(
     ), metrics
 
 
+def host_community_edges(graph_dir: str) -> rd.Dataset:
+    """Raw page→HOST edges from the url-level edge table — the north-star
+    re-expression of the reference's wallet-community semantics over web
+    hosts: "user" = source page url, "deposit" = shared link-target host.
+    Feed into ``build_graph_from_edges`` + ``detect_communities``."""
+    from ..context import hash64
+    from ..functions.extract import host_of
+
+    edges = rd.read_parquet(
+        f"{graph_dir}/edges", columns=["src_url", "dst_url"]
+    )
+
+    def to_host_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        su = df["src_url"].to_numpy()
+        hosts = np.array(
+            ["host://" + host_of(u) for u in df["dst_url"]], dtype=object
+        )
+        return pd.DataFrame(
+            {
+                "src": hash64(su),
+                "dst": hash64(hosts),
+                "src_url": su,
+                "dst_url": hosts,
+            }
+        )
+
+    return edges.map_batches(to_host_pairs, batch_format="pandas")
+
+
 def top_communities(
     communities: rd.Dataset,
     *,
