@@ -59,7 +59,7 @@ def main(argv=None):
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0") or os.cpu_count()),
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS") or 0) or os.cpu_count(),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
