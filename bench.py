@@ -61,7 +61,7 @@ def run_bench() -> dict:
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     n_pages = {"sf0.001": 1000, "sf0.01": 10000, "sf0.1": 100000}.get(sf_tag, 100000)
-    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0") or n_pages)
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES") or 0) or n_pages
     # Storage subpartitions: fixed at build time, sized for reduce-stage
     # parallelism and per-task memory — NOT for the cluster.  Kernel pools
     # pick their own size (a divisor of SP matched to the cluster).
