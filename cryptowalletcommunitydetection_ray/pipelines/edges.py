@@ -145,6 +145,10 @@ def build_graph_from_edges(
     the CSR shards use.
     """
     os.makedirs(graph_dir, exist_ok=True)
+    # a rebuilt graph invalidates any cached shard pool for this dir
+    from ..state.pool import close_pool
+
+    close_pool(graph_dir)
     P = num_partitions
 
     KIND_EDGE, KIND_UND = 0, 1
