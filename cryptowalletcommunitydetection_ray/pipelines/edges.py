@@ -71,7 +71,12 @@ def edges_from_pairs(pairs: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
     """Raw edge Dataset from a generic two-string-column edge list — the
     wallet-pairs CSV analog (``cli/export_transactions.py:26``, CSV columns
     ``x``/``y``).  Values share one namespace (as in the reference, where
-    from/to addresses are all wallet addresses)."""
+    from/to addresses are all wallet addresses).
+
+    CSV note: Arrow's CSV reader type-infers 0x-prefixed hex strings as
+    INTEGERS — pin address columns to string via
+    ``read_csv(..., convert_options=pyarrow.csv.ConvertOptions(
+    column_types={"x": pa.string(), "y": pa.string()}))``."""
 
     def to_edges(df: pd.DataFrame) -> pd.DataFrame:
         x = df[x_col].astype(str).to_numpy()

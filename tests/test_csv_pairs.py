@@ -26,7 +26,17 @@ def test_csv_pairs_to_communities(ray_session, tmp_path):
     )
     df.to_csv(csv, index=True)
 
-    pairs = rd.read_csv(str(csv))
+    # Arrow CSV type inference parses "0xAAA" as a hex INTEGER — address
+    # columns must be pinned to string (see edges_from_pairs docstring)
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    pairs = rd.read_csv(
+        str(csv),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"x": pa.string(), "y": pa.string()}
+        ),
+    )
     g = str(tmp_path / "g")
     meta = build_graph_from_edges(edges_from_pairs(pairs, "x", "y"), g, 2)
     assert meta["num_edges"] == 5
