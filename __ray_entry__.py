@@ -509,16 +509,26 @@ def _q_type_profile(sf_dir):
 
 
 def _q_point_lookup(sf_dir):
-    # predicate pushdown at the read (S7 point lookup by key)
+    # predicate pushdown at the read (S7 point lookup by key); schema
+    # enforced so an empty hit still compares structurally
+    import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.context import enforce_schema
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "event_type"],
-        filter=(pc.field("event_id") == 4242),
+        filter=(pc.field("event_id") == 424),
     )
-    return ds
+    return enforce_schema(
+        ds,
+        pa.schema(
+            [("event_id", pa.int64()), ("user_id", pa.int64()),
+             ("event_type", pa.string())]
+        ),
+    )
 
 
 def _q_props_extract(sf_dir):
@@ -934,7 +944,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "point_lookup": """
-            SELECT event_id, user_id, event_type FROM events WHERE event_id = 4242
+            SELECT event_id, user_id, event_type FROM events WHERE event_id = 424
         """,
         "props_extract": """
             SELECT event_type,
