@@ -406,8 +406,6 @@ def _q_doc_quality(sf_dir):
 
 
 def _q_exact_dedup_docs(sf_dir):
-    from cryptowalletcommunitydetection_ray.stages.dedup import exact_dedup
-
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def key_counts(g: pd.DataFrame) -> pd.DataFrame:

@@ -71,6 +71,35 @@ def host_of(url: str) -> str:
     return urlsplit(url).netloc.lower()
 
 
+def _normalize_absolute(href: str) -> str:
+    """Fast path for absolute http(s) hrefs — byte-identical to the
+    urljoin+urlsplit+urlunsplit route (equivalence pinned by
+    tests/test_extract.py::test_fast_normalize_equivalence), but without
+    urllib's per-call overhead (the extraction hot loop runs this once per
+    link)."""
+    i = href.find("://")
+    scheme = href[:i].lower()
+    rest = href[i + 3 :]
+    j = len(rest)
+    for ch in "/?#":
+        k = rest.find(ch)
+        if k != -1 and k < j:
+            j = k
+    netloc = rest[:j].lower()
+    tail = rest[j:]
+    h = tail.find("#")
+    if h != -1:
+        tail = tail[:h]
+    q = tail.find("?")
+    if q != -1:
+        path, query = tail[:q], tail[q + 1 :]
+    else:
+        path, query = tail, ""
+    if not path:
+        path = "/"
+    return f"{scheme}://{netloc}{path}?{query}" if query else f"{scheme}://{netloc}{path}"
+
+
 def extract_links(html: bytes, base_url: str) -> list[str]:
     """Ordered outlink urls of one page (normalized; duplicates preserved)."""
     out: list[str] = []
@@ -85,6 +114,9 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
             continue
         low = href.lower()
         if low.startswith(("javascript:", "mailto:")):
+            continue
+        if low.startswith(("http://", "https://")):
+            out.append(_normalize_absolute(href))
             continue
         u = urljoin(base_url, href)
         p = urlsplit(u)

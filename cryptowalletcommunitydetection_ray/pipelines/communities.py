@@ -33,7 +33,7 @@ import pandas as pd
 import ray.data as rd
 
 from .components import connected_components
-from ..context import enforce_schema, rename_cols
+from ..context import rename_cols
 from .edges import read_meta
 
 

@@ -9,7 +9,7 @@ resuming from the latest *complete* superstep when asked.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable
+from typing import Callable
 
 import ray
 import ray.data as rd
