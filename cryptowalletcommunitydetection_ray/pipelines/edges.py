@@ -11,14 +11,15 @@ validity predicate) and tx-hash set dedup (``models/lp_transaction.py:9-13``):
   2. ``dedup`` on ``(src, dst)`` via hash-partitioned vectorized dedup.
   3. ``build_graph``: writes resumable, hive-partitioned parquet artifacts —
 
-        graph_dir/edges/part=p/      directed, deduped, partition = src % P
-        graph_dir/edges_und/part=p/  both directions, deduped, part = src % P
-        graph_dir/vertices/part=p/   (vid, url, host), partition = vid % P
-        graph_dir/meta.json          {P, num_edges, num_vertices, lineage}
+        graph_dir/edges/part=s/      directed+urls, deduped, s = src % SP
+        graph_dir/edges_und/part=s/  both directions, deduped, s = src % SP
+        graph_dir/vertices/part=s/   (vid, url, host, is_user), s = vid % SP
+        graph_dir/meta.json          {P: SP, num_edges, num_vertices, lineage}
 
-     Each CSR shard actor later reads ONLY its ``part=p`` directory — the
-     partitioned write is the single up-front shuffle the iterative kernels
-     amortize over all supersteps.
+     A kernel pool of any size P dividing SP later reads, per shard, the
+     union of subpartitions ≡ p (mod P) — one artifact layout serves every
+     cluster size, and the partitioned write is the single up-front shuffle
+     the iterative kernels amortize over all supersteps.
 """
 
 from __future__ import annotations
@@ -136,18 +137,23 @@ def build_graph_from_edges(
     """Materialize all graph artifacts from a raw (src, dst, src_url,
     dst_url) Dataset; returns the meta dict.
 
-    ONE shuffle total: each raw edge is tagged into five routed rows —
-    the directed edge (→ part src%P), both undirected orientations
-    (→ src%P each), and the two endpoint vertices (→ vid%P) — then a single
-    ``groupby(part)`` delivers every partition's rows to one task, which
-    dedups each artifact vectorized and writes its partition files directly
-    (tmp + atomic rename, so a crashed build never leaves a half-written
-    partition and a re-run is idempotent).  Partition counts come back as
-    the group results — no post-hoc metadata scans.
+    ONE shuffle total: each raw edge is tagged into THREE routed rows —
+    the directed edge (→ subpartition src%SP, carrying both urls) and the
+    two undirected orientations (each carrying its own src endpoint's url +
+    side rank, → src%SP) — then a single ``groupby(part)`` delivers every
+    subpartition's rows to one task, which dedups each artifact vectorized,
+    DERIVES the vertex table from its und rows (every vertex appears as an
+    und-src in its own subpartition; min side rank = is_user), and writes
+    its partition files directly (tmp + atomic rename, so a crashed build
+    never leaves a half-written partition and a re-run is idempotent —
+    tested in tests/test_properties.py).  Partition counts come back as the
+    group results — no post-hoc metadata scans.
 
-    P bounds per-task memory (a partition's ~5× edge rows must fit a worker
-    heap) — at 100 TB choose P so edges/P ≈ a few GB, exactly the same knob
-    the CSR shards use.
+    ``num_partitions`` here is SP, the STORAGE subpartition count: it sets
+    reduce-stage parallelism and bounds per-task memory (a subpartition's
+    ~3× edge rows must fit a worker heap — at 100 TB choose SP so
+    edges/SP ≈ a few GB).  Kernel pools later pick any divisor of SP for
+    their shard count (see ``read_shard``).
     """
     os.makedirs(graph_dir, exist_ok=True)
     # a rebuilt graph invalidates any cached shard pool for this dir
