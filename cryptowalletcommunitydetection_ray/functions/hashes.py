@@ -15,16 +15,36 @@ from ..context import hash64
 MERSENNE = (1 << 61) - 1
 
 
-def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """64-bit hashes of the word k-shingles of ``text`` (unique, sorted)."""
+def _shingle_strings(text: str, k: int) -> list[str]:
     words = text.split()
     if len(words) < k:
-        if not words:
-            return np.empty(0, dtype=np.uint64)
-        sh = [" ".join(words)]
-    else:
-        sh = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """64-bit hashes of the word k-shingles of ``text`` (unique, sorted)."""
+    sh = _shingle_strings(text, k)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
     return np.unique(hash64(np.array(sh, dtype=object)).astype(np.uint64))
+
+
+def shingle_hashes_batch(texts, k: int = 3) -> list[np.ndarray]:
+    """Per-doc unique shingle hashes for a whole batch with ONE vectorized
+    hash call (the per-call overhead of ``hash64`` dominates per-doc
+    hashing for short documents)."""
+    all_sh: list[str] = []
+    offsets = [0]
+    for t in texts:
+        all_sh.extend(_shingle_strings(t, k))
+        offsets.append(len(all_sh))
+    if not all_sh:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    hs = hash64(np.array(all_sh, dtype=object)).astype(np.uint64)
+    return [
+        np.unique(hs[offsets[i] : offsets[i + 1]]) for i in range(len(texts))
+    ]
 
 
 def minhash_params(num_perm: int = 64, seed: int = 42):

@@ -100,16 +100,14 @@ class MinHasher:
         from ..functions.hashes import (
             band_keys_matrix,
             minhash_signature,
-            shingle_hashes,
+            shingle_hashes_batch,
         )
 
+        shingles = shingle_hashes_batch(
+            df[self.text_col].tolist(), self.shingle_k
+        )
         sigs = np.stack(
-            [
-                minhash_signature(
-                    shingle_hashes(t, self.shingle_k), self.a, self.b
-                )
-                for t in df[self.text_col]
-            ]
+            [minhash_signature(sh, self.a, self.b) for sh in shingles]
         )
         bk = band_keys_matrix(sigs, self.bands)  # (n, bands)
         n = len(df)
