@@ -729,6 +729,35 @@ def _q_degree_census(sf_dir):
     )
 
 
+
+def _q_incremental_daily(sf_dir):
+    """§2.10 incremental contract end-to-end: tumbling daily windows with a
+    resume cursor, materialized per-window partitions read back as one
+    table (window, user_id, n_events, sum_value_e2)."""
+    import pyarrow as pa
+
+    from cryptowalletcommunitydetection_ray.pipelines.incremental import (
+        run_incremental,
+    )
+
+    base = f"{_CACHE}/incr_{_sf_tag(sf_dir)}"
+    out, state = f"{base}/out", f"{base}/state"
+    run_incremental(f"{sf_dir}/events.parquet", out, state, window_s=86400)
+    ds = rd.read_parquet(out)
+
+    def fix(t: pa.Table) -> pa.Table:
+        cols = {
+            # "window" is a reserved SQL word — expose as window_start_s
+            "window_start_s": pa.compute.cast(t["window"], pa.int64()),
+            "user_id": t["user_id"],
+            "n_events": t["n_events"],
+            "sum_value_e2": t["sum_value_e2"],
+        }
+        return pa.table(cols)
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 
 
@@ -763,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changelog_compaction": _q_changelog_compaction,
         "type_profile": _q_type_profile,
         "point_lookup": _q_point_lookup,
+        "incremental_daily": _q_incremental_daily,
         "props_extract": _q_props_extract,
         # text / dedup over documents
         "doc_token_stats": _q_doc_token_stats,
@@ -940,6 +970,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "incremental_daily": """
+            SELECT (epoch_us(ts) // 1000000 // 86400) * 86400 AS window_start_s,
+                   user_id, count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_e2
+            FROM events
+            GROUP BY 1, 2
+            HAVING window_start_s + 86400 <=
+                   (SELECT max(epoch_us(ts)) // 1000000 + 1 FROM events)
         """,
         "point_lookup": """
             SELECT event_id, user_id, event_type FROM events WHERE event_id = 424
