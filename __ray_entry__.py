@@ -904,8 +904,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
             ), s AS (
                 SELECT user_id, sec,
-                       sum(brk) OVER (PARTITION BY user_id ORDER BY sec
-                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
                 FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -951,7 +952,8 @@ def oracle_sql() -> dict[str, str]:
                                           AND 1 PRECEDING) AS asof_event_id
                 FROM e
             )
-            SELECT event_id, asof_event_id FROM w WHERE event_type = 'purchase'
+            SELECT event_id, COALESCE(asof_event_id, -1) AS asof_event_id
+            FROM w WHERE event_type = 'purchase'
         """,
         "changelog_compaction": """
             SELECT user_id, bucket_start_s, event_id AS first_event_id
@@ -985,8 +987,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "props_extract": """
             SELECT event_type,
-                   sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
-                       AS sum_k,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,

@@ -244,7 +244,11 @@ def asof_last_before(
     """Per-row as-of lookup (A9 — ``utils/utils.py:9-28`` latest change-log
     value ≤ t): for every ``target_type`` event, the event_id of the last
     ``lookup_type`` event of the same user STRICTLY BEFORE it in the pinned
-    (ts, event_id) order.  Output: (event_id, asof_event_id nullable)."""
+    (ts, event_id) order.  Output: (event_id, asof_event_id).  "No prior
+    lookup event" is encoded as -1 (not NULL) so the column is plain int64
+    end-to-end — nullable ints canonicalize differently (pandas ``Int64``
+    NA vs DuckDB NULL→float NaN) across fetch paths and break strict
+    value-hash comparison."""
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, "event_id"], kind="stable")
@@ -252,15 +256,9 @@ def asof_last_before(
         ids = g["event_id"].to_numpy()
         carried = pd.Series(np.where(is_lookup, ids, np.nan)).ffill().shift(1)
         sel = (g[type_col] == target_type).to_numpy()
-        return pd.DataFrame(
-            {
-                "event_id": ids[sel],
-                # nullable Int64 so the null case round-trips as BIGINT NULL
-                "asof_event_id": pd.array(
-                    carried.to_numpy()[sel], dtype="Int64"
-                ),
-            }
-        )
+        asof = carried.to_numpy()[sel]
+        asof = np.where(np.isnan(asof), -1.0, asof).astype(np.int64)
+        return pd.DataFrame({"event_id": ids[sel], "asof_event_id": asof})
 
     return (
         events.select_columns([user_col, "event_id", ts_col, type_col])
