@@ -604,10 +604,17 @@ def _q_labelprop_pages(sf_dir):
 
 
 def _q_minhash_dedup(sf_dir):
+    """Verified near-dup pairs.  SQL-checkable: on this corpus every true
+    pair has Jaccard ≥ 0.8 (LSH recall ≈ 1 at 16 bands × r=4), so the LSH
+    output equals the exact all-pairs answer; inter/union are emitted as
+    exact int64 shingle-set counts so the comparison is hash-exact."""
     from cryptowalletcommunitydetection_ray.stages.dedup import minhash_dedup_pairs
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    return minhash_dedup_pairs(docs, threshold=0.5)
+    out = minhash_dedup_pairs(docs, threshold=0.5)
+    return out.map_batches(
+        lambda df: df[["a", "b", "n_inter", "n_union"]], batch_format="pandas"
+    )
 
 
 def _q_simhash_pairs(sf_dir):
@@ -1042,6 +1049,74 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        # verified near-dup pairs are exact-Jaccard-expressible in SQL even
+        # though the MinHash sketch is not (LSH recall = 1 on this corpus:
+        # every true pair has j >= 0.8; see _q_minhash_dedup docstring)
+        "minhash_dedup": r"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(
+                         CASE WHEN len(w) = 0 THEN []
+                              WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                              ELSE [array_to_string(w[i:i+2], ' ')
+                                    for i in range(1, len(w) - 1)]
+                         END) AS s
+                FROM (SELECT doc_id,
+                             list_filter(string_split_regex(text, '\s+'),
+                                         x -> x <> '') AS w
+                      FROM documents)
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   len(list_intersect(a.s, b.s)) AS n_inter,
+                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+                       AS n_union
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+              AND 2 * len(list_intersect(a.s, b.s)) >=
+                  len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
+        """,
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS n_ws_tokens,
+                   len(list_filter(
+                       regexp_extract_all(text,
+                           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
+                       x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe_tokens
+            FROM documents
+        """,
+        "doc_langid": r"""
+            WITH sw(lang, word, ord) AS (VALUES
+                ('en','the',1),('en','a',1),('en','of',1),('en','and',1),
+                ('en','to',1),('en','in',1),('en','is',1),('en','it',1),
+                ('en','that',1),('en','for',1),
+                ('de','der',2),('de','die',2),('de','das',2),('de','und',2),
+                ('de','ist',2),('de','ein',2),('de','zu',2),('de','den',2),
+                ('de','nicht',2),
+                ('fr','le',3),('fr','la',3),('fr','les',3),('fr','et',3),
+                ('fr','est',3),('fr','un',3),('fr','une',3),('fr','de',3),
+                ('fr','pas',3),('fr','que',3),
+                ('es','el',4),('es','la',4),('es','los',4),('es','y',4),
+                ('es','es',4),('es','un',4),('es','una',4),('es','de',4),
+                ('es','no',4),('es','que',4)
+            ), toks AS (
+                SELECT doc_id, lower(t.tok) AS tok
+                FROM documents,
+                     unnest(regexp_extract_all(text, '\S+')) AS t(tok)
+            ), hits AS (
+                SELECT doc_id, lang, min(ord) AS ord, count(*) AS n
+                FROM toks JOIN sw ON toks.tok = sw.word
+                GROUP BY doc_id, lang
+            ), best AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY n DESC, ord) AS rn
+                FROM hits
+            )
+            SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+            FROM documents d
+            LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         """,
         "cc_region_star": """
             WITH membership AS (

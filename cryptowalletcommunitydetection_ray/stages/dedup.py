@@ -187,41 +187,163 @@ def lsh_candidate_pairs(
     return exact_dedup(cands, ["a", "b"], num_partitions=16)
 
 
-class JaccardVerifier:
-    """Actor-pool stage: exact Jaccard over a broadcast id→text lookup.
+def copartitioned_jaccard(
+    cands: rd.Dataset,
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_partitions: int = 32,
+) -> rd.Dataset:
+    """Exact Jaccard for candidate (a, b) pairs WITHOUT materializing the doc
+    table anywhere: two hash-routed co-partition rounds (attach text_a by
+    ``hash(a) % P``, then verify in the ``hash(b) % P`` partition holding
+    text_b).  This is the 100 TB path — each task only ever sees one doc
+    partition plus the pairs routed to it; P bounds task memory.
 
-    The doc table is shipped ONCE per actor via a ``ray.put`` handle
-    (broadcast small-side join, J1/J6 analog).  At 100 TB the lookup side
-    would instead be co-partitioned by id (two hash joins of the pair table
-    against the docs table) — same verify kernel, different routing.
+    Output: (a, b, n_inter, n_union, jaccard) — inter/union as exact int64
+    counts of unique word-``shingle_k``-shingles (hash-compare friendly),
+    jaccard = n_inter / n_union rounded to 6 dp (0.0 when both sides empty).
     """
+    P = np.uint64(num_partitions)
 
-    def __init__(self, docs_ref, shingle_k=3):
-        import ray
+    def tag_docs(key_out: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    _PART: (ids.astype(np.uint64) % P).astype(np.int32),
+                    "kind": np.zeros(len(df), np.int8),
+                    "a": ids if key_out == "a" else np.zeros(len(df), np.int64),
+                    "b": ids if key_out == "b" else np.zeros(len(df), np.int64),
+                    "text": df[text_col].fillna("").to_numpy(),
+                }
+            )
 
-        self.lookup = ray.get(docs_ref)  # dict id -> text
-        self.shingle_k = shingle_k
-        self._cache: dict = {}
+        return f
 
-    def _sh(self, i):
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                _PART: (a.astype(np.uint64) % P).astype(np.int32),
+                "kind": np.ones(len(df), np.int8),
+                "a": a,
+                "b": df["b"].to_numpy().astype(np.int64),
+                "text": np.full(len(df), "", dtype=object),
+            }
+        )
+
+    _empty1 = pd.DataFrame(
+        {
+            _PART: np.array([], np.int32),
+            "kind": np.array([], np.int8),
+            "a": np.array([], np.int64),
+            "b": np.array([], np.int64),
+            "text": np.array([], object),
+        }
+    )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["kind"].to_numpy() == 0
+        pairs = g[~is_doc]
+        if not len(pairs):
+            return _empty1
+        lookup = dict(
+            zip(g["a"].to_numpy()[is_doc], g["text"].to_numpy()[is_doc])
+        )
+        b = pairs["b"].to_numpy()
+        return pd.DataFrame(
+            {
+                _PART: (b.astype(np.uint64) % P).astype(np.int32),
+                "kind": np.ones(len(pairs), np.int8),
+                "a": pairs["a"].to_numpy(),
+                "b": b,
+                # text now carries text_a, routed to b's partition
+                "text": np.array(
+                    [lookup[i] for i in pairs["a"]], dtype=object
+                ),
+            }
+        )
+
+    _empty2 = pd.DataFrame(
+        {
+            "a": np.array([], np.int64),
+            "b": np.array([], np.int64),
+            "n_inter": np.array([], np.int64),
+            "n_union": np.array([], np.int64),
+            "jaccard": np.array([], np.float64),
+        }
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
         from ..functions.hashes import shingle_hashes
 
-        s = self._cache.get(i)
-        if s is None:
-            s = shingle_hashes(self.lookup[i], self.shingle_k)
-            self._cache[i] = s
-        return s
+        is_doc = g["kind"].to_numpy() == 0
+        pairs = g[~is_doc]
+        if not len(pairs):
+            return _empty2
+        doc_text = dict(
+            zip(g["b"].to_numpy()[is_doc], g["text"].to_numpy()[is_doc])
+        )
+        sh_cache: dict = {}
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hashes import jaccard
+        def sh_b(i):
+            s = sh_cache.get(i)
+            if s is None:
+                s = shingle_hashes(doc_text[i], shingle_k)
+                sh_cache[i] = s
+            return s
 
-        sims = [
-            jaccard(self._sh(int(a)), self._sh(int(b)))
-            for a, b in zip(df["a"], df["b"])
-        ]
-        df = df.copy()
-        df["jaccard"] = np.round(sims, 6)
-        return df
+        sha_cache: dict = {}
+
+        def sh_a(i, text):
+            s = sha_cache.get(i)
+            if s is None:
+                s = shingle_hashes(text, shingle_k)
+                sha_cache[i] = s
+            return s
+
+        inter = np.empty(len(pairs), np.int64)
+        union = np.empty(len(pairs), np.int64)
+        rows = zip(pairs["a"], pairs["b"], pairs["text"])
+        for j, (ai, bi, ta) in enumerate(rows):
+            sa, sb = sh_a(int(ai), ta), sh_b(int(bi))
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter[j] = ni
+            union[j] = len(sa) + len(sb) - ni
+        return pd.DataFrame(
+            {
+                "a": pairs["a"].to_numpy(),
+                "b": pairs["b"].to_numpy(),
+                "n_inter": inter,
+                "n_union": union,
+                "jaccard": np.round(
+                    np.divide(
+                        inter,
+                        union,
+                        out=np.zeros(len(pairs), np.float64),
+                        where=union > 0,
+                    ),
+                    6,
+                ),
+            }
+        )
+
+    docs = docs.select_columns([id_col, text_col])
+    st1 = (
+        docs.map_batches(tag_docs("a"), batch_format="pandas")
+        .union(cands.map_batches(tag_pairs, batch_format="pandas"))
+        .groupby(_PART)
+        .map_groups(attach_a, batch_format="pandas")
+    )
+    return (
+        docs.map_batches(tag_docs("b"), batch_format="pandas")
+        .union(st1)
+        .groupby(_PART)
+        .map_groups(verify, batch_format="pandas")
+    )
 
 
 def minhash_dedup_pairs(
@@ -230,28 +352,37 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    num_partitions: int = 32,
     **lsh_kwargs,
 ) -> rd.Dataset:
-    """LSH candidates → exact-Jaccard verify → pairs with sim ≥ threshold."""
-    import ray
-
+    """LSH candidates → co-partitioned exact-Jaccard verify → pairs with
+    sim ≥ threshold.  Streaming end-to-end: no driver-side or broadcast
+    materialization of the corpus (the verify routes pairs to the doc
+    partitions holding their texts)."""
     cands = lsh_candidate_pairs(
         docs, text_col=text_col, id_col=id_col, **lsh_kwargs
     )
-    side = docs.select_columns([id_col, text_col]).to_pandas()
-    lookup = dict(zip(side[id_col].astype(int), side[text_col]))
-    ref = ray.put(lookup)
-    verified = cands.map_batches(
-        JaccardVerifier,
-        fn_constructor_kwargs=dict(docs_ref=ref),
-        batch_format="pandas",
-        batch_size=4096,
-        concurrency=2,
+    verified = copartitioned_jaccard(
+        cands,
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        shingle_k=lsh_kwargs.get("shingle_k", 3),
+        num_partitions=num_partitions,
     )
     import pyarrow.compute as pc
 
+    # threshold on the exact integer counts: j >= t  <=>  inter >= t * union
     return verified.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["jaccard"], threshold)),
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t["n_union"], 0),
+                pc.greater_equal(
+                    pc.cast(t["n_inter"], "float64"),
+                    pc.multiply(pc.cast(t["n_union"], "float64"), threshold),
+                ),
+            )
+        ),
         batch_format="pyarrow",
     )
 
@@ -312,8 +443,16 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int = 4,
+    max_bucket: int = 200,
 ) -> rd.Dataset:
-    """SimHash near-dup pairs: band-bucket candidates → exact hamming verify."""
+    """SimHash near-dup pairs: band-bucket candidates → exact hamming verify.
+
+    ``max_bucket`` caps degenerate band buckets (same guard as the MinHash
+    LSH stage): a bucket of B identical-ish docs would otherwise emit O(B²)
+    pairs in every band.  Capped buckets keep the ``max_bucket`` smallest
+    ids; their cross pairs to truncated members are dropped (documented
+    skew trade-off — at web scale a degenerate bucket is an exact-dup
+    cluster, handled by exact dedup first)."""
     hashed = docs.select_columns([id_col, text_col]).map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
@@ -325,7 +464,10 @@ def simhash_dedup_pairs(
     # CPUs and stall scheduling)
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        # skew guard first (smallest ids win, deterministic), then all-pairs
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col).head(
+            max_bucket
+        )
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
         if len(ids) < 2:
@@ -335,7 +477,12 @@ def simhash_dedup_pairs(
             )
         ii, jj = np.triu_indices(len(ids), k=1)
         x = hs[ii] ^ hs[jj]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        # vectorized popcount: 8 bytes per word -> unpackbits -> row sums
+        ham = (
+            np.unpackbits(x[:, None].view(np.uint8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": ham[keep]}

@@ -81,6 +81,62 @@ def test_simhash_pairs_planted(dup_docs):
     assert (pairs["hamming"] <= 10).all()
 
 
+def test_copartitioned_jaccard_matches_exact(dup_docs):
+    """The co-partitioned verify (no driver/broadcast materialization)
+    reproduces the pure-python exact Jaccard for every candidate pair."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        copartitioned_jaccard,
+    )
+
+    docs_df = dup_docs.to_pandas()
+    texts = dict(zip(docs_df["doc_id"], docs_df["text"]))
+    ids = sorted(texts)
+    cand = pd.DataFrame(
+        {"a": [0, 0, 2, ids[-2]], "b": [1, 2, 3, ids[-1]]}
+    )
+    out = (
+        copartitioned_jaccard(
+            rd.from_pandas(cand), dup_docs, num_partitions=3
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(cand)
+    for _, r in out.iterrows():
+        sa = shingle_hashes(texts[r["a"]], 3)
+        sb = shingle_hashes(texts[r["b"]], 3)
+        ni = len(np.intersect1d(sa, sb))
+        assert r["n_inter"] == ni
+        assert r["n_union"] == len(sa) + len(sb) - ni
+        denom = r["n_union"] or 1
+        assert abs(r["jaccard"] - r["n_inter"] / denom) < 1e-9
+
+
+def test_simhash_degenerate_bucket_bounded(ray_session):
+    """1000 identical docs: without the bucket cap this is ~500k pairs per
+    band x 4 bands; with max_bucket=50 the pair count is bounded by
+    C(50,2) and the stage finishes quickly."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    n = 1000
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": range(n), "text": ["same text here every time"] * n}
+        )
+    )
+    pairs = simhash_dedup_pairs(docs, max_hamming=3, max_bucket=50).to_pandas()
+    assert 0 < len(pairs) <= 50 * 49 // 2
+    # deterministic winners: only the smallest 50 ids appear
+    assert pairs[["a", "b"]].to_numpy().max() < 50
+
+
 def test_exact_dedup_keep_min(ray_session):
     import ray.data as rd
 
