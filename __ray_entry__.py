@@ -603,6 +603,46 @@ def _q_labelprop_pages(sf_dir):
     return labels
 
 
+def _q_pagerank_star(sf_dir):
+    """PageRank over the customer→nation→region star graph.  The directed
+    star-chain has a CLOSED-FORM fixed point (all customers share rank S;
+    nation = S·(1+α·c_n); region = S·(1+α·nn_r+α²·cc_r); S solves the
+    dangling-mass self-consistency), so the converged kernel output is
+    SQL-checkable exactly — the driver-green evidence for the same
+    ``PageRankState`` kernel that runs the pages corpus."""
+    from cryptowalletcommunitydetection_ray.pipelines.edges import read_meta
+    from cryptowalletcommunitydetection_ray.pipelines.pagerank import pagerank
+
+    g = _star_graph(sf_dir)
+    n_total = read_meta(g)["num_vertices"]
+    ranks, _ = pagerank(g, tol=1e-15, max_iter=400)
+    scale = float(n_total) * 1e6
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vid": df["vid"].to_numpy(),
+                "rank_n_e6": np.rint(df["rank"].to_numpy() * scale).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    return ranks.map_batches(fix, batch_format="pandas")
+
+
+def _q_labelprop_star(sf_dir):
+    """Synchronous mode-label propagation on the star graph; the pinned
+    deterministic rule (max count, tie → min label, isolated keeps) is
+    SQL-expressible by unrolling the fixed number of supersteps."""
+    from cryptowalletcommunitydetection_ray.pipelines.labelprop import (
+        label_propagation,
+    )
+
+    labels, _ = label_propagation(_star_graph(sf_dir), max_iter=10)
+    return labels
+
+
 def _q_minhash_dedup(sf_dir):
     """Verified near-dup pairs.  SQL-checkable: on this corpus every true
     pair has Jaccard ≥ 0.8 (LSH recall ≈ 1 at 16 bands × r=4), so the LSH
@@ -817,6 +857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph kernels (SQL-checkable derived graphs)
         "cc_region_star": _q_cc_region_star,
         "triangles_copurchase": _q_triangles_copurchase,
+        "pagerank_star": _q_pagerank_star,
+        "labelprop_star": _q_labelprop_star,
         # graph kernels over the pages corpus (flagship; non-SQL)
         "pagerank_pages": _q_pagerank_pages,
         "cc_pages": _q_cc_pages,
@@ -830,8 +872,88 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _lpa_star_sql(iters: int = 10) -> str:
+    """Unrolled synchronous LPA over the star graph: iteration k is three
+    chained CTEs (neighbor-label counts → per-vertex winner by max count
+    tie-min-label → new labels, isolated vertices keep theirs)."""
+    parts = [
+        """
+        WITH verts AS (
+            SELECT 4 * r_regionkey AS vid FROM region
+            UNION ALL SELECT 4 * n_nationkey + 1 FROM nation
+            UNION ALL SELECT 4 * c_custkey + 3 FROM customer
+        ), dedges AS (
+            SELECT 4 * c_custkey + 3 AS s, 4 * c_nationkey + 1 AS d
+            FROM customer
+            UNION ALL SELECT 4 * n_nationkey + 1, 4 * n_regionkey FROM nation
+        ), und AS (
+            SELECT s AS v, d AS w FROM dedges
+            UNION ALL SELECT d, s FROM dedges
+        ), l0 AS (SELECT vid, vid AS label FROM verts)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""", n{k} AS (
+            SELECT e.v AS vid, p.label, count(*) AS n
+            FROM und e JOIN l{k} p ON p.vid = e.w
+            GROUP BY e.v, p.label
+        ), w{k} AS (
+            SELECT vid, label FROM n{k}
+            QUALIFY row_number() OVER (PARTITION BY vid
+                                       ORDER BY n DESC, label) = 1
+        ), l{k + 1} AS (
+            SELECT l.vid, COALESCE(w.label, l.label) AS label
+            FROM l{k} l LEFT JOIN w{k} w USING (vid)
+        )"""
+        )
+    parts.append(f"\nSELECT vid, label FROM l{iters}")
+    return "".join(parts)
+
+
+_PAGERANK_STAR_SQL = """
+    WITH k AS (
+        SELECT CAST(0.85 AS DOUBLE) AS al,
+               (SELECT count(*) FROM region) AS R,
+               (SELECT count(*) FROM nation) AS Nn,
+               (SELECT count(*) FROM customer) AS C
+    ), s AS (
+        SELECT al, R, Nn, C, CAST(R + Nn + C AS DOUBLE) AS N,
+               ((1 - al) / (R + Nn + C)) /
+               (1 - (al / (R + Nn + C)) * (R + al * Nn + al * al * C)) AS S
+        FROM k
+    ), nat AS (
+        SELECT n_nationkey, n_regionkey,
+               (SELECT count(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) AS c_n
+        FROM nation n
+    ), reg AS (
+        SELECT r_regionkey,
+               (SELECT count(*) FROM nation n
+                WHERE n.n_regionkey = r.r_regionkey) AS nn_r,
+               (SELECT count(*) FROM customer c JOIN nation n
+                ON c.c_nationkey = n.n_nationkey
+                WHERE n.n_regionkey = r.r_regionkey) AS cc_r
+        FROM region r
+    )
+    SELECT 4 * c_custkey + 3 AS vid,
+           CAST(round(S * N * 1000000) AS BIGINT) AS rank_n_e6
+    FROM customer, s
+    UNION ALL
+    SELECT 4 * n_nationkey + 1,
+           CAST(round(S * (1 + al * c_n) * N * 1000000) AS BIGINT)
+    FROM nat, s
+    UNION ALL
+    SELECT 4 * r_regionkey,
+           CAST(round(S * (1 + al * nn_r + al * al * cc_r) * N * 1000000)
+                AS BIGINT)
+    FROM reg, s
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pagerank_star": _PAGERANK_STAR_SQL,
+        "labelprop_star": _lpa_star_sql(10),
         "filter_events": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'click' AND value > 100.0
