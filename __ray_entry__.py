@@ -360,6 +360,20 @@ def _q_events_dedup_first(sf_dir):
     )
 
 
+def _q_user_event_tags_list(sf_dir):
+    """Arrow-native K1: the set-union builds a real ``list<string>`` column
+    (SURVEY §1.2 vertex shape); the driver surface explodes it to scalar
+    rows so the value-hash is representation-stable."""
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        explode_list,
+        set_union_groupby_list,
+    )
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    tags = set_union_groupby_list(ev, "user_id", "event_type")
+    return explode_list(tags, "tags", out_col="tag")
+
+
 def _q_sessionize_users(sf_dir):
     from cryptowalletcommunitydetection_ray.stages.relational import sessionize
 
@@ -826,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_orders": _q_minmax_orders,
         "count_window_events": _q_count_window_events,
         "user_event_tags": _q_user_event_tags,
+        "user_event_tags_list": _q_user_event_tags_list,
         "hourly_windows": _q_hourly_windows,
         "top_spenders": _q_top_spenders,
         "brand_revenue": _q_brand_revenue,
@@ -984,6 +999,13 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT event_type)), ',') AS tags,
                    count(DISTINCT event_type) AS n_distinct
             FROM events GROUP BY user_id
+        """,
+        "user_event_tags_list": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+                 n AS (SELECT user_id, count(*) AS n_distinct
+                       FROM d GROUP BY user_id)
+            SELECT d.user_id, d.event_type AS tag, n.n_distinct
+            FROM d JOIN n USING (user_id)
         """,
         "hourly_windows": """
             SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start_s,

@@ -82,6 +82,105 @@ def set_union_groupby(
     )
 
 
+def set_union_groupby_list(
+    ds: rd.Dataset, key: str, val: str, *, out_col: str = "tags"
+) -> rd.Dataset:
+    """Arrow-native K1 set-union: per key a sorted-distinct ``list<string>``
+    column (the SURVEY §1.2 vertex-document shape — ``tags: list<string>``,
+    ``databases/mongodb.py:110-118`` ``$addToSet``), not a joined string.
+    Two-phase like ``set_union_groupby``; the merge emits a real Arrow
+    ListArray so downstream stages can ``flatten``/``list_*`` on it."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[key, val]].drop_duplicates()
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        vals = sorted(set(g[val].astype(str).tolist()))
+        return pa.table(
+            {
+                key: pa.array([g[key].iloc[0]], type=pa.int64()),
+                out_col: pa.array([vals], type=pa.list_(pa.string())),
+                "n_distinct": pa.array([len(vals)], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([key, val])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def explode_list(ds: rd.Dataset, list_col: str, *, out_col: str) -> rd.Dataset:
+    """Flatten a ``list<T>`` column to one row per element (carries every
+    other column) — vectorized Arrow ``list_parent_indices`` + ``flatten``,
+    no Python per-row loop."""
+
+    def f(t: pa.Table) -> pa.Table:
+        lc = t[list_col].combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):  # empty-chunk edge
+            lc = pa.concat_arrays(lc.chunks) if lc.num_chunks else pa.array(
+                [], type=lc.type
+            )
+        parent = pc.list_parent_indices(lc)
+        cols = {
+            c: pc.take(t[c], parent)
+            for c in t.column_names
+            if c != list_col
+        }
+        cols[out_col] = pc.list_flatten(lc)
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def map_union_groupby(
+    ds: rd.Dataset,
+    key: str,
+    map_key_col: str,
+    map_val_col: str,
+    *,
+    out_col: str = "protocols",
+) -> rd.Dataset:
+    """Nested map-merge (K1's ``protocols: map<string,int64>`` shape): per
+    key, sum ``map_val_col`` per distinct ``map_key_col`` and emit one Arrow
+    ``map<string,int64>`` cell with sorted keys.  Two-phase: per-batch
+    (key, mkey) partial sums shrink the shuffle before the groupby."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            df.groupby([key, map_key_col], sort=False)[map_val_col]
+            .sum()
+            .reset_index()
+        )
+        out[map_val_col] = out[map_val_col].astype(np.int64)
+        return out
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        agg = (
+            g.groupby(map_key_col, sort=True)[map_val_col].sum().astype(np.int64)
+        )
+        items = list(zip(agg.index.astype(str), agg.to_numpy()))
+        return pa.table(
+            {
+                key: pa.array([g[key].iloc[0]], type=pa.int64()),
+                out_col: pa.array(
+                    [items], type=pa.map_(pa.string(), pa.int64())
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([key, map_key_col, map_val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(key)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def window_bucket(
     ds: rd.Dataset,
     ts_col: str,
@@ -198,15 +297,20 @@ def carry_forward_merge(
     type_col: str = "event_type",
     value_col: str = "value",
     types: Sequence[str] = ("click", "view"),
+    handler_func=None,
 ) -> rd.Dataset:
-    """Carry-forward multi-series merge (A7 — ``utils/list_dict_utils.py:
-    98-112`` ``combined_logs(*logs, handler_func=sum)``): per key, take the
-    union of the two series' timestamps, forward-fill each series, and sum.
+    """N-ary carry-forward series merge (A7 — ``utils/list_dict_utils.py:
+    98-112`` ``combined_logs(*logs, handler_func)``): per key, take the
+    union of all ``types`` series' timestamps, forward-fill each series,
+    and reduce across series with ``handler_func``.
 
-    Pinned order within a key: (epoch second, event_id)... here (sec) with
-    stable input order; output one row per contributing event:
-    (user_id, sec, merged_e2) with merged = ffill(a) + ffill(b), missing
-    series contributing 0 (fixed-point ×100 int for hash-exact compare).
+    ``handler_func`` receives a ``(len(types), n_rows)`` float64 matrix of
+    the forward-filled series (missing values already 0.0) and returns the
+    combined length-``n_rows`` vector; ``None`` means element-wise sum
+    (the reference's default).  Pinned order within a key: (epoch second,
+    event_id) with stable input order; output one row per contributing
+    event: (user_id, sec, merged_e2) fixed-point ×100 int for hash-exact
+    compare.
     """
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -218,11 +322,20 @@ def carry_forward_merge(
         g = g.sort_values([ts_col, "event_id"], kind="stable")
         sec = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
         out = {user_col: g[user_col].to_numpy(), "sec": sec}
-        total = np.zeros(len(g))
-        for t in types:
-            v = g[value_col].where(g[type_col] == t)
-            total = total + v.ffill().fillna(0.0).to_numpy()
-        out["merged_e2"] = np.round(total * 100).astype(np.int64)
+        series = np.stack(
+            [
+                g[value_col]
+                .where(g[type_col] == t)
+                .ffill()
+                .fillna(0.0)
+                .to_numpy()
+                for t in types
+            ]
+        )
+        total = (
+            series.sum(axis=0) if handler_func is None else handler_func(series)
+        )
+        out["merged_e2"] = np.round(np.asarray(total) * 100).astype(np.int64)
         return pd.DataFrame(out)
 
     return (

@@ -60,24 +60,42 @@ class LangIdStage:
     """
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
-        from ..functions.textstats import LANG_ORDER, STOPWORDS, WS_TOKEN_RE
+        from ..functions.textstats import LANG_ORDER, STOPWORDS
 
         self.text_col, self.id_col = text_col, id_col
-        self.langs = LANG_ORDER
-        self.stop = STOPWORDS
-        self.token_re = WS_TOKEN_RE
+        self.langs = np.array(LANG_ORDER, dtype=object)
+        # per-actor state: one sorted word array per language (LANG_ORDER)
+        self.stop_arrays = [
+            np.sort(np.array(sorted(STOPWORDS[lang]), dtype=object))
+            for lang in LANG_ORDER
+        ]
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for t in df[self.text_col].fillna(""):
-            toks = [w.lower() for w in self.token_re.findall(t)]
-            best_lang, best_hits = "und", 0
-            for lang in self.langs:
-                sw = self.stop[lang]
-                hits = sum(1 for w in toks if w in sw)
-                if hits > best_hits:
-                    best_lang, best_hits = lang, hits
-            preds.append(best_lang)
+        n = len(df)
+        # batch tokenization: lowercase once, whitespace-split, flatten
+        ex = (
+            df[self.text_col]
+            .fillna("")
+            .str.lower()
+            .str.split()
+            .reset_index(drop=True)
+            .explode()
+            .dropna()
+        )
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(ex):
+            docpos = ex.index.to_numpy(dtype=np.int64)
+            codes, uniques = pd.factorize(ex.to_numpy())
+            # (unique-token × lang) membership, then per-doc bincount folds
+            for j, sw in enumerate(self.stop_arrays):
+                member = np.isin(uniques, sw)[codes]
+                if member.any():
+                    scores[:, j] = np.bincount(
+                        docpos[member], minlength=n
+                    )
+        best = scores.argmax(axis=1)  # first max → LANG_ORDER tie-break
+        hits = scores[np.arange(n), best]
+        preds = np.where(hits > 0, self.langs[best], "und")
         return pd.DataFrame(
             {self.id_col: df[self.id_col].to_numpy(), "lang_pred": preds}
         )

@@ -36,6 +36,33 @@ def test_carry_forward_merge(events):
     assert len(got) == len(sub)
 
 
+def test_carry_forward_merge_nary_handler(events):
+    """3 series + a pluggable reducer (the reference's variadic
+    combined_logs(*logs, handler_func) shape)."""
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        carry_forward_merge,
+    )
+
+    ds, df = events
+    types = ("click", "view", "purchase")
+    got = carry_forward_merge(
+        ds, types=types, handler_func=lambda m: m.max(axis=0)
+    ).to_pandas()
+    sub = df[df["event_type"].isin(types)].sort_values(["ts", "event_id"])
+    assert len(got) == len(sub)
+    uid = sub["user_id"].iloc[0]
+    one = sub[sub["user_id"] == uid]
+    filled = np.stack(
+        [
+            one["value"].where(one["event_type"] == t).ffill().fillna(0).to_numpy()
+            for t in types
+        ]
+    )
+    want = np.round(filled.max(axis=0) * 100).astype(np.int64)
+    g = got[got["user_id"] == uid].sort_values("sec")
+    assert sorted(g["merged_e2"].tolist()) == sorted(want.tolist())
+
+
 def test_asof_last_click(events):
     from cryptowalletcommunitydetection_ray.stages.relational import (
         asof_last_before,
@@ -55,7 +82,9 @@ def test_asof_last_click(events):
                 want = last_click
                 have = got.get(row["event_id"], None)
                 if want is None:
-                    assert pd.isna(have)
+                    # "no prior click" is the -1 sentinel (plain int64,
+                    # never NULL — see asof_last_before docstring)
+                    assert have == -1
                 else:
                     assert have == want
             if row["event_type"] == "click":

@@ -134,3 +134,45 @@ def test_broadcast_dim_join(ray_session):
     want = ldf.merge(dim, on="l_partkey")
     assert len(got) == len(want)
     assert set(got.columns) == {"l_partkey", "l_quantity", "p_brand"}
+
+
+def test_set_union_groupby_list_and_map_union(ray_session):
+    """Nested-type K1: tags as a real Arrow list<string>, protocols as a
+    real map<string,int64> - exact values pinned."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        explode_list,
+        map_union_groupby,
+        set_union_groupby_list,
+    )
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["b", "a", "b", "c", "c"],
+            "value": [10, 5, 1, 2, 3],
+        }
+    )
+    ds = rd.from_pandas(df)
+
+    tags = set_union_groupby_list(ds, "user_id", "event_type")
+    assert tags.schema().base_schema.field("tags").type == pa.list_(pa.string())
+    tdf = tags.to_pandas().set_index("user_id").sort_index()
+    assert list(tdf.loc[1, "tags"]) == ["a", "b"]
+    assert list(tdf.loc[2, "tags"]) == ["c"]
+    assert tdf["n_distinct"].tolist() == [2, 1]
+
+    flat = explode_list(tags, "tags", out_col="tag").to_pandas()
+    got = sorted(map(tuple, flat[["user_id", "tag"]].to_numpy()))
+    assert got == [(1, "a"), (1, "b"), (2, "c")]
+
+    pm = map_union_groupby(ds, "user_id", "event_type", "value")
+    assert pa.types.is_map(pm.schema().base_schema.field("protocols").type)
+    pdf = pm.to_pandas().set_index("user_id").sort_index()
+    assert [tuple(kv) for kv in pdf.loc[1, "protocols"]] == [
+        ("a", 5),
+        ("b", 11),
+    ]
+    assert [tuple(kv) for kv in pdf.loc[2, "protocols"]] == [("c", 5)]
