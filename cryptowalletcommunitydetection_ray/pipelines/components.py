@@ -46,10 +46,10 @@ def connected_components(
 
     def step(shards, P, iteration):
         refs = [
-            s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
+            s.call_live.options(num_returns=P + 1).remote(_K, "compute") for s in shards
         ]
         changed_refs = [
-            s.call.remote(_K, "apply", [refs[p][q] for p in range(P)])
+            s.call_live.remote(_K, "apply", [refs[p][q] for p in range(P)])
             for q, s in enumerate(shards)
         ]
         return {

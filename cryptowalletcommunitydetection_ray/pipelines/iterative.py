@@ -55,22 +55,39 @@ def run_supersteps(
     t0 = time.time()
     meta = read_meta(graph_dir)
     shards, P = get_pool(graph_dir, pool_size)
-    ray.get([s.reset.remote(kernel) for s in shards])  # fresh kernel state
-    init(shards, P)
 
-    start_iter = 0
     manifest = None
     if checkpoint_dir is not None:
         manifest = ck.init_manifest(
             checkpoint_dir, algorithm, graph_dir, P, lineage=meta
         )
-        last = ck.latest_complete(manifest) if resume else None
-        if last is not None:
-            it = last["iteration"]
-            if restore is None:
-                raise ValueError(f"{algorithm}: resume requested but unsupported")
-            restore(shards, checkpoint_dir, it)
-            start_iter = it + 1
+
+    def _setup(use_resume: bool) -> int:
+        """(Re)initialise every shard's kernel state; returns start iter.
+        Called once at job start and again after a shard failure — a
+        restarted actor reloaded its partition artifacts in ``__init__``
+        but holds no kernel state, so ALL shards rewind together to the
+        latest complete checkpoint (or to a fresh init when the run is
+        not checkpointed)."""
+        ray.get([s.reset.remote(kernel) for s in shards])
+        ray.get([s.ensure.remote(kernel) for s in shards])
+        init(shards, P)
+        if checkpoint_dir is not None:
+            last = ck.latest_complete(read_or(manifest)) if use_resume else None
+            if last is not None:
+                it = last["iteration"]
+                if restore is None:
+                    raise ValueError(
+                        f"{algorithm}: resume requested but unsupported"
+                    )
+                restore(shards, checkpoint_dir, it)
+                return it + 1
+        return 0
+
+    def read_or(m):
+        return ck.read_manifest(checkpoint_dir) or m
+
+    start_iter = _setup(resume)
     t_setup = time.time() - t0
 
     def _resolve(raw: dict) -> dict:
@@ -86,40 +103,55 @@ def run_supersteps(
 
     t0 = time.time()
     history: list[dict] = []
+    restarts = 0
+    max_restart_attempts = 4
     iteration = start_iter
     done = False
     while iteration < max_iter and not done:
-        chunk_end = min(iteration + max(1, pipeline_depth), max_iter)
-        submitted = [
-            (it, step(shards, P, it)) for it in range(iteration, chunk_end)
-        ]
-        for it, raw in submitted:
-            metrics = _resolve(raw)
-            history.append({"iteration": it, **metrics})
-            iteration = it + 1
-            if checkpoint_dir is not None and (
-                (it % checkpoint_every == 0) or converged(metrics)
-            ):
-                # state has already advanced past `it` when depth > 1; the
-                # slice therefore reflects the LAST submitted superstep —
-                # with depth 1 (the default for checkpointed runs) it is
-                # exactly superstep `it`
-                ray.get(
-                    [
-                        s.call.remote(
-                            kernel, "save", ck.slice_path(checkpoint_dir, it, p)
-                        )
-                        for p, s in enumerate(shards)
-                    ]
-                )
-                ck.record_iteration(checkpoint_dir, manifest, it, metrics)
-            if converged(metrics):
-                done = True
-                break
+        try:
+            chunk_end = min(iteration + max(1, pipeline_depth), max_iter)
+            submitted = [
+                (it, step(shards, P, it)) for it in range(iteration, chunk_end)
+            ]
+            for it, raw in submitted:
+                metrics = _resolve(raw)
+                history.append({"iteration": it, **metrics})
+                iteration = it + 1
+                if checkpoint_dir is not None and (
+                    (it % checkpoint_every == 0) or converged(metrics)
+                ):
+                    # state has already advanced past `it` when depth > 1;
+                    # the slice therefore reflects the LAST submitted
+                    # superstep — with depth 1 (the default for
+                    # checkpointed runs) it is exactly superstep `it`
+                    ray.get(
+                        [
+                            s.call_live.remote(
+                                kernel, "save",
+                                ck.slice_path(checkpoint_dir, it, p),
+                            )
+                            for p, s in enumerate(shards)
+                        ]
+                    )
+                    ck.record_iteration(checkpoint_dir, manifest, it, metrics)
+                if converged(metrics):
+                    done = True
+                    break
+        except (ray.exceptions.RayActorError, ray.exceptions.RayTaskError):
+            # a shard died mid-superstep (Ray restarts it with fresh
+            # artifacts but empty kernel state) — rewind everything to
+            # the latest complete checkpoint, or re-init when the run
+            # has no checkpoints
+            restarts += 1
+            if restarts > max_restart_attempts:
+                raise
+            history.append({"iteration": iteration, "restart": restarts})
+            iteration = _setup(checkpoint_dir is not None)
+            done = False
     t_loop = time.time() - t0
 
     result = rd.from_arrow_refs(
-        [s.call.remote(kernel, "get_table") for s in shards]
+        [s.call_live.remote(kernel, "get_table") for s in shards]
     )
     run_metrics = {
         "algorithm": algorithm,
@@ -130,6 +162,7 @@ def run_supersteps(
         "P": P,
         "setup_seconds": round(t_setup, 3),
         "loop_seconds": round(t_loop, 3),
+        "restarts": restarts,
         "history": history,
     }
     return result, run_metrics

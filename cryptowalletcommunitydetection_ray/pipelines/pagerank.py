@@ -57,11 +57,11 @@ def pagerank(
         # submit-only: no driver synchronization — the dangling scalars go
         # to apply() as refs and are summed shard-side in fixed order
         refs = [
-            s.call.options(num_returns=P + 1).remote(_K, "compute") for s in shards
+            s.call_live.options(num_returns=P + 1).remote(_K, "compute") for s in shards
         ]
         dang_refs = [refs[p][P] for p in range(P)]
         delta_refs = [
-            s.call.remote(
+            s.call_live.remote(
                 _K, "apply", [refs[p][q] for p in range(P)], dang_refs, alpha
             )
             for q, s in enumerate(shards)

@@ -56,10 +56,15 @@ def init_manifest(
 ) -> dict:
     m = read_manifest(ckpt_dir)
     if m is not None:
-        if m["algorithm"] != algorithm or m["P"] != P:
+        if (
+            m["algorithm"] != algorithm
+            or m["P"] != P
+            or m.get("graph_dir") != graph_dir
+        ):
             raise ValueError(
                 f"checkpoint dir {ckpt_dir} holds a different job "
-                f"({m['algorithm']}, P={m['P']}); refusing to clobber"
+                f"({m['algorithm']}, P={m['P']}, "
+                f"graph={m.get('graph_dir')}); refusing to clobber"
             )
         return m
     m = {

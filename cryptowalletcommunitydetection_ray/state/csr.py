@@ -140,6 +140,13 @@ class _VecState:
     def _load_vec(self, path: str, name: str) -> np.ndarray:
         t = pq.read_table(path)
         vids = np.asarray(t["vid"].to_numpy(), dtype=np.int64)
+        # a slice from a different graph/partitioning would scatter garbage
+        # silently — refuse unless the vid set is exactly this shard's
+        if not np.array_equal(np.sort(vids), self.data.vids):
+            raise ValueError(
+                f"checkpoint slice {path} holds {len(vids)} vids that do "
+                f"not match this shard's vertex set (different graph or P?)"
+            )
         vec = t[name].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(self.data.vids, vids)
         out = np.empty(len(self.data.vids), dtype=vec.dtype)
@@ -334,13 +341,20 @@ class ModeLabelState(_VecState):
         return pa.table({"vid": self.data.vids, "label": self.labels})
 
 
-@ray.remote(num_cpus=0)
+@ray.remote(num_cpus=0, max_restarts=8)
 class KernelShard:
     """One actor per partition hosting every kernel's state.
 
     ``num_cpus=0``: shards are latency-bound message processors that sit
     idle between supersteps; reserving a full CPU each would starve the
     Dataset operators sharing the node (and deadlock small test clusters).
+
+    ``max_restarts``: a crashed shard is restarted by Ray and reloads its
+    partition artifacts in ``__init__``; its in-memory KERNEL state is
+    gone, which ``call_live`` surfaces as an error so the superstep driver
+    rewinds every shard to the latest complete checkpoint (or re-inits)
+    instead of silently mixing a fresh vector into a converged run
+    (reference analog: retry-everything, ``utils/retry_handler.py:12-30``).
     """
 
     def __init__(self, graph_dir: str, part: int, nparts: int):
@@ -369,5 +383,20 @@ class KernelShard:
     def has_kernel(self, name: str) -> bool:
         return name in self._kernels
 
+    def ensure(self, kernel: str) -> None:
+        """Instantiate a kernel's state eagerly (after reset / restart)."""
+        self._kernel(kernel)
+
     def call(self, kernel: str, method: str, *args):
         return getattr(self._kernel(kernel), method)(*args)
+
+    def call_live(self, kernel: str, method: str, *args):
+        """Like ``call`` but refuses to lazily (re)create state: if this
+        actor restarted since the kernel was initialised, the state is a
+        default-constructed imposter — raise instead of computing on it."""
+        k = self._kernels.get(kernel)
+        if k is None:
+            raise RuntimeError(
+                f"kernel {kernel!r} has no live state (shard restarted?)"
+            )
+        return getattr(k, method)(*args)

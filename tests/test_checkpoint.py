@@ -55,6 +55,45 @@ def test_cc_resume_exact(graph300, tmp_path):
     assert got.equals(want)
 
 
+def test_pagerank_survives_shard_kill(graph300, tmp_path):
+    """Kill one KernelShard actor mid-run: Ray restarts it (artifacts
+    reload in __init__, kernel state empty), the superstep driver detects
+    the dead/imposter state, rewinds every shard to the latest complete
+    checkpoint, and still converges to the bit-identical vector."""
+    import threading
+    import time as _time
+
+    import ray
+
+    from cryptowalletcommunitydetection_ray.state import checkpoint as ck
+    from cryptowalletcommunitydetection_ray.state.pool import get_pool
+
+    full, _ = pagerank(graph300, tol=1e-14, pipeline_depth=1)
+    want = full.to_pandas().sort_values("vid").reset_index(drop=True)
+
+    ckpt = str(tmp_path / "ck_kill")
+    shards, _p = get_pool(graph300)
+
+    def killer():
+        # wait until at least 2 complete checkpoints exist, then kill
+        for _ in range(500):
+            m = ck.read_manifest(ckpt)
+            if m and len([i for i in m["iterations"] if i["complete"]]) >= 2:
+                ray.kill(shards[1], no_restart=False)
+                return
+            _time.sleep(0.01)
+
+    t = threading.Thread(target=killer)
+    t.start()
+    got_ds, metrics = pagerank(
+        graph300, tol=1e-14, checkpoint_dir=ckpt, checkpoint_every=1
+    )
+    t.join()
+    got = got_ds.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert metrics["restarts"] >= 1, "kill landed after convergence; flaky"
+    assert np.array_equal(got["rank"].to_numpy(), want["rank"].to_numpy())
+
+
 def test_manifest_refuses_other_job(graph300, tmp_path):
     ckpt = str(tmp_path / "ck")
     pagerank(graph300, max_iter=1, checkpoint_dir=ckpt)
