@@ -53,6 +53,27 @@ def _write_cursor(state_dir: str, value: int) -> None:
     os.replace(tmp, p)
 
 
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return [path]
+
+
+def _ts_us(v) -> int:
+    """Row-group stat → epoch microseconds (pyarrow yields datetime)."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return int(v)
+
+
 def _default_process(window_ds: rd.Dataset) -> rd.Dataset:
     from ray.data.aggregate import Count, Sum
 
@@ -88,18 +109,33 @@ def run_incremental(
     (``jobs/cli_job.py:56-58``).
     """
     process_window = process_window or _default_process
-    ev = rd.read_parquet(events_path)
-    stats = ev.map_batches(
-        lambda t: pa.table(
-            {
-                "lo": [pc.min(pc.cast(t["ts"], pa.int64())).as_py()],
-                "hi": [pc.max(pc.cast(t["ts"], pa.int64())).as_py()],
-            }
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    lo_s = int(stats["lo"].min() // 1_000_000)
-    hi_s = int(stats["hi"].max() // 1_000_000) + 1
+    # window bounds from parquet row-group statistics only — no data scan
+    # (the reference reads its cursor + collection max timestamp, not the
+    # stream; ``jobs/cli_job.py:56-58``)
+    import pyarrow.parquet as pq
+
+    lo_us = hi_us = None
+    for path in _parquet_files(events_path):
+        md = pq.ParquetFile(path).metadata
+        ts_idx = md.schema.to_arrow_schema().get_field_index("ts")
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(ts_idx)
+            st = col.statistics
+            if st is None or not st.has_min_max or col.num_values == 0:
+                continue
+            mn, mx = _ts_us(st.min), _ts_us(st.max)
+            lo_us = mn if lo_us is None else min(lo_us, mn)
+            hi_us = mx if hi_us is None else max(hi_us, mx)
+    if lo_us is None:
+        # empty input (or all-null ts): clean no-op, cursor untouched
+        return {
+            "windows_processed": 0,
+            "window_starts": [],
+            "cursor": read_cursor(state_dir),
+            "window_s": window_s,
+        }
+    lo_s = lo_us // 1_000_000
+    hi_s = hi_us // 1_000_000 + 1
     end_s = min(end_s, hi_s) if end_s is not None else hi_s
 
     cursor = read_cursor(state_dir)
@@ -110,17 +146,17 @@ def run_incremental(
     done = []
     w = cursor
     while w + window_s <= end_s:
-        lo_us = w * 1_000_000
-        hi_us = (w + window_s) * 1_000_000
-        wds = ev.map_batches(
-            lambda t, lo=lo_us, hi=hi_us: t.filter(
-                pc.and_(
-                    pc.greater_equal(pc.cast(t["ts"], pa.int64()), lo),
-                    pc.less(pc.cast(t["ts"], pa.int64()), hi),
-                )
+        lo_w = w * 1_000_000
+        hi_w = (w + window_s) * 1_000_000
+        # the window predicate is pushed into the READ: parquet row-group
+        # stats on ts prune non-overlapping groups, so a catch-up over W
+        # windows reads each row group O(1) times (plus stats), not W
+        wds = rd.read_parquet(
+            events_path,
+            filter=(
+                (pc.field("ts") >= pa.scalar(lo_w, pa.timestamp("us")))
+                & (pc.field("ts") < pa.scalar(hi_w, pa.timestamp("us")))
             ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
         )
         result = process_window(wds)
         part_dir = os.path.join(out_dir, f"window={w}")
