@@ -41,6 +41,20 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
 
 
+def _fp(sf_dir: str, *names: str) -> str:
+    """Content fingerprint of input tables (size + mtime) so cached /tmp
+    artifacts are invalidated when the driver regenerates testdata in
+    place at the same sf path."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for name in names:
+        p = f"{sf_dir}/{name}.parquet"
+        st = os.stat(p)
+        h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:10]
+
+
 def _pages_count(sf_dir: str) -> int:
     tag = _sf_tag(sf_dir)
     return {"sf0_001": 300, "sf0_01": 3000, "sf0_1": 30000}.get(tag, 3000)
@@ -74,7 +88,7 @@ def _star_graph(sf_dir: str) -> str:
     )
 
     quiet_data_context()
-    d = f"{_CACHE}/star_{_sf_tag(sf_dir)}_P4"
+    d = f"{_CACHE}/star_{_sf_tag(sf_dir)}_{_fp(sf_dir, 'customer', 'nation')}_P4"
     if not os.path.exists(f"{d}/meta.json"):
         cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
             lambda df: pd.DataFrame(
@@ -110,7 +124,7 @@ def _copurchase_graph(sf_dir: str) -> str:
     )
 
     quiet_data_context()
-    d = f"{_CACHE}/copurchase_{_sf_tag(sf_dir)}_P4"
+    d = f"{_CACHE}/copurchase_{_sf_tag(sf_dir)}_{_fp(sf_dir, 'lineitem')}_P4"
     if not os.path.exists(f"{d}/meta.json"):
         li = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -801,7 +815,7 @@ def _q_incremental_daily(sf_dir):
         run_incremental,
     )
 
-    base = f"{_CACHE}/incr_{_sf_tag(sf_dir)}"
+    base = f"{_CACHE}/incr_{_sf_tag(sf_dir)}_{_fp(sf_dir, 'events')}"
     out, state = f"{base}/out", f"{base}/state"
     run_incremental(f"{sf_dir}/events.parquet", out, state, window_s=86400)
     ds = rd.read_parquet(out)

@@ -110,6 +110,11 @@ def extract_links(html: bytes, base_url: str) -> list[str]:
         if raw is None:
             raw = m.group(3)
         href = raw.decode("utf-8", errors="replace").strip()
+        if "\t" in href or "\r" in href or "\n" in href:
+            # urlsplit (≥3.10, WHATWG) strips ASCII tab/newline anywhere in
+            # the url; mirror that here so the fast path below stays
+            # byte-identical to the urllib route for such hrefs
+            href = href.replace("\t", "").replace("\r", "").replace("\n", "")
         if not href or href.startswith("#"):
             continue
         low = href.lower()

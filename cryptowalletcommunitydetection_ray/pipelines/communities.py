@@ -37,14 +37,33 @@ from ..context import rename_cols
 from .edges import read_meta
 
 
-def _collect_communities(tagged: rd.Dataset, chain: str) -> rd.Dataset:
-    """(vid, url, is_user, label) rows → one row per community."""
+def _collect_communities(
+    tagged: rd.Dataset, chain: str, require_both_sides: bool = True
+) -> rd.Dataset:
+    """(vid, url, is_user, label) rows → one row per community.
+
+    ``require_both_sides`` pins the reference's semantics: ``get_user_depo``
+    merges the user and deposit lists with an INNER join
+    (``services/wallet_clustering.py:47``), so a component with zero
+    deposit members (e.g. a pure src-src cycle) never emits a row; pass
+    ``False`` to keep every component."""
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
         is_user = g["is_user"].to_numpy(dtype=bool)
         urls = g["url"].to_numpy()
         users = sorted(urls[is_user].tolist())
         depos = sorted(urls[~is_user].tolist())
+        if require_both_sides and (not users or not depos):
+            return pd.DataFrame(
+                {
+                    "_id": pd.Series([], dtype=np.int64),
+                    "user_wallets": pd.Series([], dtype=object),
+                    "deposit_wallets": pd.Series([], dtype=object),
+                    "num_user": pd.Series([], dtype=np.int64),
+                    "num_depo": pd.Series([], dtype=np.int64),
+                    "chain": pd.Series([], dtype=object),
+                }
+            )
         return pd.DataFrame(
             {
                 "_id": [np.int64(g["label"].iloc[0])],
@@ -60,7 +79,11 @@ def _collect_communities(tagged: rd.Dataset, chain: str) -> rd.Dataset:
 
 
 def community_members_from_pool(
-    graph_dir: str, *, chain: str = "web", pool_size: int | None = None
+    graph_dir: str,
+    *,
+    chain: str = "web",
+    pool_size: int | None = None,
+    require_both_sides: bool = True,
 ) -> rd.Dataset:
     """Fast path: read labeled vertices straight out of the converged CC
     shard states — the label⋈attributes "join" is partition-local and free
@@ -80,11 +103,15 @@ def community_members_from_pool(
     tagged = rd.from_arrow_refs(
         [s.call.remote("cc", "get_labeled_vertices") for s in shards]
     )
-    return _collect_communities(tagged, chain)
+    return _collect_communities(tagged, chain, require_both_sides)
 
 
 def community_sizes(
-    graph_dir: str, *, chain: str = "web", pool_size: int | None = None
+    graph_dir: str,
+    *,
+    chain: str = "web",
+    pool_size: int | None = None,
+    require_both_sides: bool = True,
 ) -> rd.Dataset:
     """Scalable community summary: (_id, num_user, num_depo, chain) — the
     membership TABLE stays distributed (labels in shard state / parquet);
@@ -122,6 +149,9 @@ def community_sizes(
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if require_both_sides:  # reference inner-join semantics (see
+            # _collect_communities docstring)
+            df = df[(df["num_user"] > 0) & (df["num_depo"] > 0)]
         return pd.DataFrame(
             {
                 "_id": df["label"].to_numpy(),
@@ -140,6 +170,7 @@ def community_members(
     *,
     chain: str = "web",
     num_partitions: int | None = None,
+    require_both_sides: bool = True,
 ) -> rd.Dataset:
     """Join CC labels with vertex attributes and collect one row per
     community.
@@ -158,7 +189,7 @@ def community_members(
         f"{graph_dir}/vertices", columns=["vid", "url", "is_user"]
     )
     tagged = verts.join(labels, "inner", P, on=("vid",))
-    return _collect_communities(tagged, chain)
+    return _collect_communities(tagged, chain, require_both_sides)
 
 
 def community_edges(graph_dir: str, labels: rd.Dataset) -> rd.Dataset:

@@ -67,3 +67,45 @@ def test_community_edges(pairs_graph):
     ce = community_edges(d, labels).to_pandas()
     total = sum(len(e) for e in ce["edges"])
     assert total == len(pairs.drop_duplicates())
+
+
+def test_one_sided_component_dropped(ray_session, tmp_path):
+    """Reference parity (get_user_depo INNER join,
+    services/wallet_clustering.py:47): a component with no deposit-side
+    member - here a pure src-src cycle - emits no community row; pass
+    require_both_sides=False to keep every component."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.pipelines.communities import (
+        detect_communities,
+        community_members_from_pool,
+        community_sizes,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.edges import (
+        build_graph_from_edges,
+        edges_from_pairs,
+    )
+
+    pairs = pd.DataFrame(
+        {
+            # cycle a->b->c->a (every vertex a src) + bipartite u->d
+            "x": ["a", "b", "c", "u"],
+            "y": ["b", "c", "a", "d"],
+        }
+    )
+    d = str(tmp_path / "g")
+    build_graph_from_edges(edges_from_pairs(rd.from_pandas(pairs), "x", "y"), d, 2)
+
+    comms, _ = detect_communities(d)
+    got = comms.to_pandas()
+    assert len(got) == 1
+    assert got["user_wallets"].iloc[0] == ["u"] and got["num_depo"].iloc[0] == 1
+
+    every = community_members_from_pool(d, require_both_sides=False).to_pandas()
+    assert len(every) == 2  # the cycle appears again
+
+    sizes = community_sizes(d).to_pandas()
+    assert len(sizes) == 1
+    sizes_all = community_sizes(d, require_both_sides=False).to_pandas()
+    assert len(sizes_all) == 2

@@ -133,3 +133,32 @@ def test_fast_normalize_equivalence():
     ]
     for href in cases:
         assert _normalize_absolute(href) == urllib_route(href), href
+
+
+def test_embedded_control_chars_match_urllib():
+    """Quoted hrefs can legally contain tab/CR/LF; urlsplit (WHATWG) strips
+    them anywhere in the url, and extract_links must produce the same
+    normalized url either way (ADVICE fix)."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    from cryptowalletcommunitydetection_ray.functions.extract import (
+        extract_links,
+    )
+
+    def urllib_route(href):
+        u = urljoin("http://base.example/dir/page", href)
+        p = urlsplit(u)
+        return urlunsplit(
+            (p.scheme.lower(), p.netloc.lower(), p.path or "/", p.query, "")
+        )
+
+    cases = [
+        "http://h.Ex\tample/Pa\nth",
+        "http://h.example/a\r\nb?q=\t1",
+        "htt\np://h.example/x",          # control char inside the scheme
+        "http://h.example/ok",
+    ]
+    for href in cases:
+        html = f'<a href="{href}">x</a>'.encode()
+        got = extract_links(html, "http://base.example/dir/page")
+        assert got == [urllib_route(href)], href
