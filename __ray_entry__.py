@@ -4,11 +4,13 @@
 extraction → edge table → PageRank) at sf0.001 scale.  ``queries()`` exposes
 one callable per implemented operator/pipeline from SURVEY.md §2 over the
 driver-generated parquet tables in ``sf_dir``; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible query (graph kernels over
-hashed-url pages, sketch-based dedup, language-ID, fingerprints and the
-multimodal stages are non-SQL-expressible → rows-only checks; their
+DuckDB-equivalent SQL for every SQL-expressible query — including the
+iterative kernels via the star graph (closed-form PageRank, unrolled
+LPA) and MinHash near-dup via exact all-pairs shingle Jaccard.  Only the
+hashed-vid pages kernels, SimHash/LSH-cosine sketches, rolling-hash
+fingerprints and the multimodal stages remain rows-only; their
 correctness gates live in ``tests/`` against networkx / pure-python
-oracles).
+oracles.
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init`` / ``ray.shutdown``.

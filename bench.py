@@ -159,21 +159,7 @@ def run_bench() -> dict:
     # machine-calibration: perfectly parallel pure-CPU fan-out; its speedup
     # between the two levels is the box's real scaling ceiling (all-core
     # frequency / virtualization effects make it < 4 on this host)
-    import re as _re
-
-    @ray.remote
-    def _calib(seed):
-        rx = _re.compile(rb"<a\b[^>]*?href=\"([^\"]*)\"")
-        data = (b'<a href="http://h%d.example/p%d">x</a> pad ' % (seed, seed)) * 2000
-        n = 0
-        for _ in range(120):
-            n += len(rx.findall(data))
-        return n
-
-    ray.get([_calib.remote(i) for i in range(64)])  # warm worker pool
-    t0 = time.time()
-    ray.get([_calib.remote(i) for i in range(512)])
-    calib_sec = round(time.time() - t0, 3)
+    calib_sec = _calibrate(ray)
 
     out = {
         "metric": "flagship link-graph pipeline e2e (pages→edges→PageRank+CC+communities+triangles)",
@@ -193,6 +179,174 @@ def run_bench() -> dict:
     shutil.rmtree(graph_dir, ignore_errors=True)
     ray.shutdown()
     return out
+
+
+def _calibrate(ray) -> float:
+    """Speedup ceiling probe: perfectly parallel pure-CPU fan-out; its
+    runtime ratio between two pinned-CPU levels is the box's real scaling
+    ceiling (virtualization/frequency effects make it < ideal)."""
+    import re as _re
+    import time as _time
+
+    @ray.remote
+    def _calib(seed):
+        rx = _re.compile(rb"<a\b[^>]*?href=\"([^\"]*)\"")
+        data = (b'<a href="http://h%d.example/p%d">x</a> pad ' % (seed, seed)) * 2000
+        n = 0
+        for _ in range(120):
+            n += len(rx.findall(data))
+        return n
+
+    ray.get([_calib.remote(i) for i in range(64)])  # warm worker pool
+    t0 = _time.time()
+    ray.get([_calib.remote(i) for i in range(512)])
+    return round(_time.time() - t0, 3)
+
+
+def _kernel_graph_dir(V: int, E: int, SP: int) -> str:
+    return f"/dev/shm/cwcd_bench/kgraph_{V}_{E}_P{SP}"
+
+
+def _build_kernel_graph(V: int, E: int, SP: int) -> str:
+    """Deterministic uniform random graph synthesized directly as an edge
+    table (no extraction) — sized so kernel compute dominates superstep
+    message latency (the VERDICT's >=50M-edge requirement)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.pipelines.edges import (
+        build_graph_from_edges,
+        edges_from_vid_pairs,
+    )
+
+    d = _kernel_graph_dir(V, E, SP)
+    if os.path.exists(f"{d}/meta.json"):
+        return d
+
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+
+    def mix(x):
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(30))) * M1
+            x = (x ^ (x >> np.uint64(27))) * M2
+            return x ^ (x >> np.uint64(31))
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["id"].to_numpy().astype(np.uint64)
+        s = mix(i) % np.uint64(V)
+        dd = mix(i + np.uint64(0x9E3779B97F4A7C15)) % np.uint64(V - 1)
+        dst = (s + np.uint64(1) + dd) % np.uint64(V)  # no self-loops
+        return pd.DataFrame({"s": s.astype(np.int64), "d": dst.astype(np.int64)})
+
+    pairs = rd.range(E, override_num_blocks=256).map_batches(
+        gen, batch_format="pandas"
+    )
+    build_graph_from_edges(
+        edges_from_vid_pairs(pairs, "s", "d"), d, SP,
+        lineage={"source": "uniform synthetic", "V": V, "E": E},
+    )
+    return d
+
+
+def run_kernel_bench() -> dict:
+    """Child-process body for --kernel-scaling: iterative kernels on a
+    pre-built big graph, pool size scaled WITH the cpu level (unlike the
+    headline bench, whose small graphs pin a fixed latency-bound pool)."""
+    import logging
+
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32") or 32)
+    V = int(os.environ.get("GRAFT_KERNEL_VERTICES") or 5_000_000)
+    E = int(os.environ.get("GRAFT_KERNEL_EDGES") or 50_000_000)
+    SP = 128
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from cryptowalletcommunitydetection_ray.context import quiet_data_context
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.pagerank import pagerank
+
+    quiet_data_context()
+    graph_dir = _build_kernel_graph(V, E, SP)
+    pool = num_cpus  # must divide SP; 8 and 32 both divide 128
+
+    # fixed superstep count (tol=0 never converges) → both cpu levels run
+    # IDENTICAL work; loop_seconds is the clean scaling observable
+    ranks, mpr = pagerank(graph_dir, tol=0.0, max_iter=12, pool_size=pool)
+    ranks.materialize()
+    labels, mcc = connected_components(graph_dir, max_iter=8, pool_size=pool)
+    labels.materialize()
+
+    out = {
+        "num_cpus": num_cpus,
+        "V": V,
+        "E": E,
+        "pool": pool,
+        "pagerank_loop_sec": mpr["loop_seconds"],
+        "pagerank_supersteps": mpr["supersteps_run"],
+        "pagerank_edges_per_sec": round(
+            mpr["num_edges"] * mpr["supersteps_run"] / mpr["loop_seconds"], 1
+        ),
+        "cc_loop_sec": mcc["loop_seconds"],
+        "cc_supersteps": mcc["supersteps_run"],
+        "calib_sec": _calibrate(ray),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_kernel_scaling() -> None:
+    """Kernel-compute scaling evidence: same big graph, fresh pinned
+    processes at 8 and 32 cpus, pool scaled with the level."""
+    import ray
+
+    V = int(os.environ.get("GRAFT_KERNEL_VERTICES") or 5_000_000)
+    E = int(os.environ.get("GRAFT_KERNEL_EDGES") or 50_000_000)
+    # build once, unpinned, before the measured children
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from cryptowalletcommunitydetection_ray.context import quiet_data_context
+
+    quiet_data_context()
+    _build_kernel_graph(V, E, 128)
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_KERNEL_BENCH="1")
+        res = subprocess.run(
+            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+             os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    ceiling = r_lo["calib_sec"] / r_hi["calib_sec"]
+    out = {
+        "metric": "kernel scaling (N=8 → 4N=32 pinned CPUs, pool scaled, "
+                  f"{r_lo['E']} edges)",
+        "V": r_lo["V"],
+        "E": r_lo["E"],
+        "machine_ceiling_speedup": round(ceiling, 3),
+    }
+    for k in ("pagerank", "cc"):
+        sp = r_lo[f"{k}_loop_sec"] / r_hi[f"{k}_loop_sec"]
+        out[f"{k}_loop_sec_8"] = r_lo[f"{k}_loop_sec"]
+        out[f"{k}_loop_sec_32"] = r_hi[f"{k}_loop_sec"]
+        out[f"{k}_speedup"] = round(sp, 3)
+        out[f"{k}_efficiency"] = round(sp / (hi / lo), 3)
+        out[f"{k}_efficiency_vs_ceiling"] = round(sp / ceiling, 3)
+    out["pagerank_edges_per_sec_8"] = r_lo["pagerank_edges_per_sec"]
+    out["pagerank_edges_per_sec_32"] = r_hi["pagerank_edges_per_sec"]
+    print(json.dumps(out))
 
 
 def run_scaling() -> None:
@@ -225,6 +379,11 @@ def run_scaling() -> None:
     # the measured ceiling: speedup of a PERFECTLY parallel pure-CPU
     # fan-out between the same two pinned-CPU levels on this box
     ceiling = r_lo["calib_sec"] / r_hi["calib_sec"]
+    stage_eff = {
+        k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
+        for k in r_lo["queries"]
+        if r_hi["queries"].get(k)
+    }
     print(
         json.dumps(
             {
@@ -239,6 +398,7 @@ def run_scaling() -> None:
                 "scaling_efficiency_vs_machine_ceiling": round(
                     speedup / ceiling, 3
                 ),
+                "stage_efficiency": stage_eff,
                 "queries_8": r_lo["queries"],
                 "queries_32": r_hi["queries"],
             }
@@ -249,5 +409,9 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--kernel-scaling" in sys.argv:
+        run_kernel_scaling()
+    elif os.environ.get("GRAFT_KERNEL_BENCH"):
+        print(json.dumps(run_kernel_bench()))
     else:
         print(json.dumps(run_bench()))
