@@ -203,12 +203,16 @@ def lsh_neardup_pairs_cosine(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     concurrency: int = 4,
+    max_bucket: int = 512,
 ) -> rd.Dataset:
     """LSH-bucketed near-dup: exact cosine only within hyperplane buckets.
 
     Approximate (recall < 1 across bucket boundaries — that is the
     documented tradeoff vs ``neardup_pairs_cosine``); precision is exact
-    because candidates are verified with true cosine.
+    because candidates are verified with true cosine.  ``max_bucket`` caps
+    degenerate buckets (same skew guard as the MinHash/SimHash stages): a
+    bucket of B near-identical vectors would otherwise cost O(B²) in one
+    task; capped buckets keep the smallest ids deterministically.
     """
     bucketed = embeddings.select_columns([id_col, emb_col]).map_batches(
         _HyperplaneBucketer,
@@ -221,7 +225,15 @@ def lsh_neardup_pairs_cosine(
     )
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
+        g = g.sort_values(id_col).head(max_bucket)  # skew guard
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "a_id": np.array([], np.int64),
+                    "b_id": np.array([], np.int64),
+                    "sim_e6": np.array([], np.int64),
+                }
+            )
         ids = g[id_col].to_numpy()
         mat = np.stack(g[emb_col].to_numpy())
         sims = mat @ mat.T
