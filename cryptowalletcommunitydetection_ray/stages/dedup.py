@@ -346,6 +346,54 @@ def copartitioned_jaccard(
     )
 
 
+class _BroadcastJaccard:
+    """Small-side verify: the doc lookup is ``ray.put`` once and shared by
+    every actor (J1 broadcast pattern) — chosen only when the corpus is
+    below the dispatch threshold, where two extra co-partition shuffles
+    would cost more than shipping the table."""
+
+    def __init__(self, docs_ref, shingle_k=3):
+        import ray
+
+        self.lookup = ray.get(docs_ref)  # dict id -> text
+        self.shingle_k = shingle_k
+        self._cache: dict = {}
+
+    def _sh(self, i):
+        from ..functions.hashes import shingle_hashes
+
+        s = self._cache.get(i)
+        if s is None:
+            s = shingle_hashes(self.lookup[i], self.shingle_k)
+            self._cache[i] = s
+        return s
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        inter = np.empty(n, np.int64)
+        union = np.empty(n, np.int64)
+        for j, (a, b) in enumerate(zip(df["a"], df["b"])):
+            sa, sb = self._sh(int(a)), self._sh(int(b))
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            inter[j] = ni
+            union[j] = len(sa) + len(sb) - ni
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy(),
+                "b": df["b"].to_numpy(),
+                "n_inter": inter,
+                "n_union": union,
+                "jaccard": np.round(
+                    np.divide(
+                        inter, union,
+                        out=np.zeros(n, np.float64), where=union > 0,
+                    ),
+                    6,
+                ),
+            }
+        )
+
+
 def minhash_dedup_pairs(
     docs: rd.Dataset,
     *,
@@ -353,23 +401,45 @@ def minhash_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    broadcast_max_rows: int = 100_000,
     **lsh_kwargs,
 ) -> rd.Dataset:
-    """LSH candidates → co-partitioned exact-Jaccard verify → pairs with
-    sim ≥ threshold.  Streaming end-to-end: no driver-side or broadcast
-    materialization of the corpus (the verify routes pairs to the doc
-    partitions holding their texts)."""
+    """LSH candidates → exact-Jaccard verify → pairs with sim ≥ threshold.
+
+    Verify strategy is size-dispatched like a join planner: a corpus under
+    ``broadcast_max_rows`` is broadcast once (``ray.put`` dict — the J1
+    small-side pattern; two extra shuffles would dominate at this size),
+    anything larger takes the CO-PARTITIONED route, which never
+    materializes the corpus anywhere (pairs are hash-routed to the doc
+    partitions holding their texts).  Both paths emit identical
+    (a, b, n_inter, n_union, jaccard) rows (pinned by test_dedup).
+    Set ``broadcast_max_rows=0`` to force the streaming path."""
     cands = lsh_candidate_pairs(
         docs, text_col=text_col, id_col=id_col, **lsh_kwargs
     )
-    verified = copartitioned_jaccard(
-        cands,
-        docs,
-        text_col=text_col,
-        id_col=id_col,
-        shingle_k=lsh_kwargs.get("shingle_k", 3),
-        num_partitions=num_partitions,
-    )
+    shingle_k = lsh_kwargs.get("shingle_k", 3)
+    n_docs = docs.count()
+    if n_docs <= broadcast_max_rows:
+        import ray
+
+        side = docs.select_columns([id_col, text_col]).to_pandas()
+        ref = ray.put(dict(zip(side[id_col].astype(int), side[text_col])))
+        verified = cands.map_batches(
+            _BroadcastJaccard,
+            fn_constructor_kwargs=dict(docs_ref=ref, shingle_k=shingle_k),
+            batch_format="pandas",
+            batch_size=4096,
+            concurrency=2,
+        )
+    else:
+        verified = copartitioned_jaccard(
+            cands,
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            num_partitions=num_partitions,
+        )
     import pyarrow.compute as pc
 
     # threshold on the exact integer counts: j >= t  <=>  inter >= t * union

@@ -115,6 +115,32 @@ def test_copartitioned_jaccard_matches_exact(dup_docs):
         assert abs(r["jaccard"] - r["n_inter"] / denom) < 1e-9
 
 
+def test_minhash_dispatch_paths_identical(dup_docs):
+    """The broadcast (small-side) and co-partitioned (streaming) verify
+    paths must produce identical rows."""
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    def norm(df):
+        return (
+            df[["a", "b", "n_inter", "n_union"]]
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
+
+    via_bcast = norm(
+        minhash_dedup_pairs(dup_docs, threshold=0.5).to_pandas()
+    )
+    via_copart = norm(
+        minhash_dedup_pairs(
+            dup_docs, threshold=0.5, broadcast_max_rows=0
+        ).to_pandas()
+    )
+    assert via_bcast.equals(via_copart)
+    assert len(via_bcast) >= 1
+
+
 def test_simhash_degenerate_bucket_bounded(ray_session):
     """1000 identical docs: without the bucket cap this is ~500k pairs per
     band x 4 bands; with max_bucket=50 the pair count is bounded by
