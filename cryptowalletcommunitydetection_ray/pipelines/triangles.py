@@ -36,8 +36,26 @@ def triangle_counts(
     *,
     pool_size: int | None = None,
     wedge_block: int = 25_000,
+    max_attempts: int = 3,
 ) -> tuple[rd.Dataset, dict]:
-    """Returns (Dataset(vid: int64, triangles: int64), metrics)."""
+    """Returns (Dataset(vid: int64, triangles: int64), metrics).
+
+    Fault tolerance: the volley protocol holds no cross-run state (every
+    attempt starts from a ``reset``), so a shard death mid-volley — Ray
+    restarts the actor with its artifacts reloaded — is recovered by
+    simply re-running the whole protocol, up to ``max_attempts``."""
+    last_err: Exception | None = None
+    for attempt in range(max_attempts):
+        try:
+            return _triangle_counts_once(graph_dir, pool_size, wedge_block)
+        except (ray.exceptions.RayActorError, ray.exceptions.RayTaskError) as e:
+            last_err = e
+    raise last_err
+
+
+def _triangle_counts_once(
+    graph_dir: str, pool_size: int | None, wedge_block: int
+) -> tuple[rd.Dataset, dict]:
     t0 = time.time()
     meta = read_meta(graph_dir)
     shards, P = get_pool(graph_dir, pool_size)

@@ -39,3 +39,42 @@ def test_triangles_known_small(ray_session, tmp_path):
 
     va, vb, vc, vd_ = hash64(np.array(["a", "b", "c", "d"], dtype=object))
     assert got[va] == 2 and got[vb] == 2 and got[vc] == 1 and got[vd_] == 1
+
+
+def test_triangles_survive_shard_kill(graph300):
+    """Kill a shard mid-protocol: the actor restarts with artifacts
+    reloaded and the stateless volley protocol re-runs to the same
+    counts."""
+    import threading
+    import time as _time
+
+    import ray
+
+    from cryptowalletcommunitydetection_ray.pipelines.triangles import (
+        triangle_counts,
+    )
+    from cryptowalletcommunitydetection_ray.state.pool import get_pool
+
+    want = (
+        triangle_counts(graph300)[0]
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+
+    shards, _ = get_pool(graph300)
+
+    def killer():
+        _time.sleep(0.15)
+        ray.kill(shards[1], no_restart=False)
+
+    t = threading.Thread(target=killer)
+    t.start()
+    got = (
+        triangle_counts(graph300)[0]
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    t.join()
+    assert got.equals(want)
