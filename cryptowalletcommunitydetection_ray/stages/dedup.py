@@ -461,9 +461,9 @@ def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
     """(doc_id, dup_group) from verified pairs — union-find on the driver.
 
     The verified pair set is tiny relative to the corpus (LSH precision),
-    so a driver-side union-find is appropriate; at web scale the same edges
-    feed the distributed min-label CC kernel (``pipelines/components.py``)
-    unchanged.
+    so a driver-side union-find is appropriate; at web scale the same
+    edges feed ``dup_groups_distributed`` (the min-label CC kernel),
+    which a test pins to identical output.
     """
     parent: dict[int, int] = {}
 
@@ -480,6 +480,33 @@ def dup_groups_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
     ids = sorted(parent)
     return pd.DataFrame(
         {"doc_id": ids, "dup_group": [find(i) for i in ids]}
+    )
+
+
+def dup_groups_distributed(
+    pairs: rd.Dataset, graph_dir: str, *, num_partitions: int = 4
+) -> rd.Dataset:
+    """(doc_id, dup_group) via the DISTRIBUTED min-label CC kernel — the
+    scale path the driver-side union-find documents: verified pairs are an
+    edge table; group ids are component labels (min member id, identical
+    to union-find's root convention).  Returns Dataset(doc_id, dup_group);
+    isolated docs (no pairs) are absent, as with union-find."""
+    from ..pipelines.components import connected_components
+    from ..pipelines.edges import build_graph_from_edges, edges_from_vid_pairs
+
+    build_graph_from_edges(
+        edges_from_vid_pairs(pairs, "a", "b"), graph_dir, num_partitions,
+        lineage={"source": "dedup pairs"},
+    )
+    labels, _ = connected_components(graph_dir)
+    return labels.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["vid"].to_numpy(),
+                "dup_group": df["label"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
     )
 
 

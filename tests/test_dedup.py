@@ -177,3 +177,30 @@ def test_exact_dedup_keep_min(ray_session):
         .sort_values("k")
     )
     assert out["v"].tolist() == ["b", "d", "e"]
+
+
+def test_dup_groups_distributed_matches_union_find(ray_session, tmp_path):
+    """The distributed CC path over verified pairs produces the same
+    groups as the driver-side union-find (min-id group convention)."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        dup_groups_distributed,
+        dup_groups_from_pairs,
+    )
+
+    pairs = pd.DataFrame(
+        {"a": [1, 2, 10, 11, 20], "b": [2, 3, 11, 12, 21]}
+    )  # groups {1,2,3}, {10,11,12}, {20,21}
+    want = dup_groups_from_pairs(pairs).sort_values("doc_id").reset_index(
+        drop=True
+    )
+    got = (
+        dup_groups_distributed(
+            rd.from_pandas(pairs), str(tmp_path / "dupg"), num_partitions=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.astype(np.int64).equals(want.astype(np.int64))
