@@ -491,6 +491,18 @@ def _q_ann_topk(sf_dir):
     return topk_cosine(emb, qids, k=10)
 
 
+def _q_ann_topk_ivf(sf_dir):
+    """IVF path with full probe (n_probe == n_centroids): scans every
+    list, so the result is EXACT and shares ann_topk's SQL oracle while
+    exercising the quantizer + probe-mask machinery end-to-end."""
+    from cryptowalletcommunitydetection_ray.stages.ann import ivf_topk_cosine
+
+    emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return ivf_topk_cosine(
+        emb, [0, 1, 2, 3, 4], k=10, n_centroids=16, n_probe=16
+    )
+
+
 def _q_embed_neardup(sf_dir):
     from cryptowalletcommunitydetection_ray.stages.ann import neardup_pairs_cosine
 
@@ -883,6 +895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_counts": _q_bpe_token_counts,
         # similarity search over embeddings
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "embed_neardup": _q_embed_neardup,
         "lsh_neardup_cosine": _q_lsh_neardup_cosine,
         # graph kernels (SQL-checkable derived graphs)
@@ -901,6 +914,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
     }
+
+
+_ANN_TOPK_SQL = """
+    WITH q AS (
+        SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+        FROM embeddings ORDER BY vec_id LIMIT 5
+    ), s AS (
+        SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qe,
+                   CAST(e.embedding AS DOUBLE[])) AS sim_raw
+        FROM q CROSS JOIN embeddings e
+        WHERE e.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id,
+           CAST(round(sim_raw * 1000000) AS BIGINT) AS sim_e6,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_raw DESC, neighbor_id)
+                AS BIGINT) AS rnk
+    FROM s QUALIFY rnk <= 10
+"""
 
 
 def _lpa_star_sql(iters: int = 10) -> str:
@@ -1182,24 +1215,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS keep_id, count(*) AS n_copies
             FROM documents GROUP BY text
         """,
-        "ann_topk": """
-            WITH q AS (
-                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
-                FROM embeddings ORDER BY vec_id LIMIT 5
-            ), s AS (
-                SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(q.qe,
-                           CAST(e.embedding AS DOUBLE[])) AS sim_raw
-                FROM q CROSS JOIN embeddings e
-                WHERE e.vec_id <> q.qid
-            )
-            SELECT query_id, neighbor_id,
-                   CAST(round(sim_raw * 1000000) AS BIGINT) AS sim_e6,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                                           ORDER BY sim_raw DESC, neighbor_id)
-                        AS BIGINT) AS rnk
-            FROM s QUALIFY rnk <= 10
-        """,
+        "ann_topk": _ANN_TOPK_SQL,
+        # full-probe IVF degenerates to the exact scan → same oracle
+        "ann_topk_ivf": _ANN_TOPK_SQL,
         "embed_neardup": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    CAST(round(list_cosine_similarity(

@@ -76,3 +76,66 @@ def test_lsh_neardup_recall(emb_ds):
     assert ap <= ex
     # near-identical vectors collide in a 4-bit hyperplane code: high recall
     assert len(ap) >= 0.5 * len(ex)
+
+
+def test_ivf_full_probe_equals_exact(ray_session):
+    """n_probe == n_centroids scans everything -> bit-identical to the
+    exact brute-force top-k."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.ann import (
+        ivf_topk_cosine,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 16
+    mat = rng.standard_normal((n, d))
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": range(n), "embedding": list(mat)})
+    )
+    qids = [0, 5, 9]
+    exact = (
+        topk_cosine(ds, qids, k=8).to_pandas()
+        .sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    )
+    ivf = (
+        ivf_topk_cosine(ds, qids, k=8, n_centroids=8, n_probe=8)
+        .to_pandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    )
+    assert ivf.equals(exact)
+
+
+def test_ivf_clustered_recall(ray_session):
+    """On well-separated clusters a single probe already recovers the
+    true neighbors (the centroid list contains them)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.ann import (
+        ivf_topk_cosine,
+        topk_cosine,
+    )
+
+    rng = np.random.default_rng(3)
+    d, per = 32, 50
+    centers = rng.standard_normal((4, d)) * 10
+    mat = np.concatenate(
+        [c + 0.05 * rng.standard_normal((per, d)) for c in centers]
+    )
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": range(len(mat)), "embedding": list(mat)})
+    )
+    qids = [0, per, 2 * per]
+    exact = topk_cosine(ds, qids, k=10).to_pandas()
+    ivf = ivf_topk_cosine(
+        ds, qids, k=10, n_centroids=4, n_probe=1, sample_rows=200
+    ).to_pandas()
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recall = len(want & got) / len(want)
+        assert recall >= 0.9, (q, recall)
