@@ -168,3 +168,48 @@ def frame_sample(
     return payloads.select_columns([id_col, payload_col]).map_batches(
         f, batch_format="pandas", batch_size=256, concurrency=concurrency
     )
+
+
+def resize(
+    payloads: rd.Dataset,
+    *,
+    target_w: int = 32,
+    target_h: int = 8,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 256,
+) -> rd.Dataset:
+    """"Image" resize stub: deterministic byte-level downsample of the
+    payload to target_w*target_h bytes (stride sampling), meta columns
+    updated - the shape (actor batch stage, small batches for big binary
+    rows, width/height metadata rewrite) a real PIL/opencv resize stage
+    would have; the real decoder is the import-gated ``RealImageDecode``.
+    """
+
+    n_out = target_w * target_h
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p in df[payload_col]:
+            p = p or b""
+            if len(p) <= n_out:
+                out.append(p.ljust(n_out, b"\0"))
+            else:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                idx = (np.arange(n_out) * (len(p) / n_out)).astype(np.int64)
+                out.append(arr[idx].tobytes())
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                payload_col: out,
+                "width": np.full(len(df), target_w, dtype=np.int32),
+                "height": np.full(len(df), target_h, dtype=np.int32),
+                "format": ["fake/raw-resized"] * len(df),
+            }
+        )
+
+    return payloads.select_columns([id_col, payload_col]).map_batches(
+        f, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+    )

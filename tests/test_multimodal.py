@@ -51,3 +51,29 @@ def test_feature_pipeline(ray_session):
     frames = frame_sample(payloads, n_frames=4).to_pandas()
     assert len(frames) == 8
     assert set(frames["frame_idx"]) == {0, 1, 2, 3}
+
+
+def test_resize_stub(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.multimodal import (
+        attach_fake_payloads,
+        resize,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello world " * 50, "x"]})
+    )
+    out = resize(
+        attach_fake_payloads(docs), target_w=16, target_h=4
+    ).to_pandas()
+    assert len(out) == 2
+    assert all(len(p) == 16 * 4 for p in out["payload"])
+    assert (out["width"] == 16).all() and (out["height"] == 4).all()
+    # deterministic
+    out2 = resize(
+        attach_fake_payloads(docs), target_w=16, target_h=4
+    ).to_pandas()
+    a = out.sort_values("id")["payload"].tolist()
+    b = out2.sort_values("id")["payload"].tolist()
+    assert a == b
