@@ -8,6 +8,8 @@
     python run.py lpa        --graph /tmp/g [--out DIR]
     python run.py communities --graph /tmp/g [--min-user N --top K] [--out DIR]
     python run.py triangles  --graph /tmp/g [--out DIR]
+    python run.py dedup      --docs DOCS.parquet [--threshold T] [--out DIR]
+                             [--groups-graph /tmp/dupg]
 
 Owns its Ray session (scripts and CLIs only — library code never calls
 ``ray.init``).
@@ -47,6 +49,13 @@ def main(argv=None):
         if name == "communities":
             p.add_argument("--min-user", type=int, default=0)
             p.add_argument("--top", type=int, default=0)
+
+    p = sub.add_parser("dedup", help="near-dup pairs + groups over a docs parquet")
+    p.add_argument("--docs", required=True, help="parquet with doc_id, text")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--out", default=None, help="write pairs parquet here")
+    p.add_argument("--groups-graph", default=None,
+                   help="scratch dir: also compute dup groups via the CC kernel")
 
     args = ap.parse_args(argv)
 
@@ -129,6 +138,22 @@ def main(argv=None):
         )
 
         result_ds, metrics = triangle_counts(args.graph)
+    elif args.cmd == "dedup":
+        import ray.data as rd
+
+        from cryptowalletcommunitydetection_ray.stages.dedup import (
+            dup_groups_distributed,
+            minhash_dedup_pairs,
+        )
+
+        docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+        result_ds = minhash_dedup_pairs(docs, threshold=args.threshold)
+        metrics = {"algorithm": "minhash_dedup", "threshold": args.threshold}
+        if args.groups_graph:
+            pairs = result_ds.materialize()
+            groups = dup_groups_distributed(pairs, args.groups_graph)
+            metrics["num_grouped_docs"] = groups.count()
+            result_ds = pairs
 
     if result_ds is not None and getattr(args, "out", None):
         result_ds.write_parquet(args.out)
