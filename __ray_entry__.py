@@ -532,6 +532,37 @@ def _q_asof_last_click(sf_dir):
     )
 
 
+def _q_asof_join_purchase_click(sf_dir):
+    """Generic TWO-table as-of join (purchases ⟕asof clicks, inclusive ≤,
+    ties → max click event_id) — distinct from asof_last_click, which is
+    the strictly-before single-stream variant."""
+    import pyarrow.compute as pc
+
+    from cryptowalletcommunitydetection_ray.stages.relational import asof_join
+
+    ev = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        purchases, clicks, by="user_id", ts_col="ts",
+        value_cols=["event_id"],
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "asof_event_id"]].astype(np.int64),
+        batch_format="pandas",
+    )
+
+
 def _q_changelog_compaction(sf_dir):
     from cryptowalletcommunitydetection_ray.stages.relational import (
         keep_first_per_bucket,
@@ -879,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_event_per_user": _q_last_event_per_user,
         "carry_forward_merge": _q_carry_forward_merge,
         "asof_last_click": _q_asof_last_click,
+        "asof_join_purchase_click": _q_asof_join_purchase_click,
         "changelog_compaction": _q_changelog_compaction,
         "type_profile": _q_type_profile,
         "point_lookup": _q_point_lookup,
@@ -1153,6 +1185,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM e
             )
             SELECT event_id, COALESCE(asof_event_id, -1) AS asof_event_id
+            FROM w WHERE event_type = 'purchase'
+        """,
+        "asof_join_purchase_click": """
+            WITH e AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                FROM events WHERE event_type IN ('purchase', 'click')
+            ), w AS (
+                SELECT event_id, event_type,
+                       last_value(CASE WHEN event_type = 'click'
+                                       THEN event_id END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY us, (event_type <> 'click'),
+                                          event_id
+                                 ROWS UNBOUNDED PRECEDING) AS a
+                FROM e
+            )
+            SELECT event_id, COALESCE(a, -1) AS asof_event_id
             FROM w WHERE event_type = 'purchase'
         """,
         "changelog_compaction": """

@@ -380,6 +380,115 @@ def asof_last_before(
     )
 
 
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    ts_col: str = "ts",
+    value_cols: Sequence[str],
+    strict: bool = False,
+    num_partitions: int = 32,
+    default: int = -1,
+) -> rd.Dataset:
+    """Generic two-Dataset as-of join (J+ family): for every left row, the
+    ``value_cols`` of the right row with the greatest ``ts_col`` ≤ (or <
+    when ``strict``) the left row's, within the same ``by`` key.
+
+    Ray-Data-first shape: tag both sides, union, ONE groupby(by) shuffle,
+    then a vectorized per-group ``searchsorted`` merge — no driver-side
+    work, no broadcast.  Ties on right ``ts_col`` resolve to the row that
+    sorts LAST by (ts, *value_cols) — pinned so the DuckDB oracle can
+    reproduce it.  Unmatched left rows get ``default`` (plain int64, not
+    NULL — hash-stable; see ``asof_last_before``).  Output: all left
+    columns + ``asof_<value_col>`` columns.
+    """
+    value_cols = list(value_cols)
+    left_cols = list(left.schema().names)
+    rv_cols = [f"__r_{c}" for c in value_cols]
+
+    # both sides emit ONE superset schema (left cols + right value cols +
+    # kind) so the union is schema-aligned; absent cells get dtype-matched
+    # fills computed once from the real schemas (numeric → default,
+    # timestamp → epoch, other → "")
+    def _fill_value(t) -> object:
+        import pyarrow as pa_
+
+        if isinstance(t, pa_.DataType):
+            if pa_.types.is_timestamp(t):
+                return np.datetime64(0, "us")
+            if pa_.types.is_integer(t) or pa_.types.is_floating(t):
+                return default
+            return ""
+        t = np.dtype(t)
+        if np.issubdtype(t, np.datetime64):
+            return np.datetime64(0, "us")
+        if np.issubdtype(t, np.number):
+            return default
+        return ""
+
+    def _schema_types(ds: rd.Dataset) -> dict:
+        sch = ds.schema()
+        return dict(zip(sch.names, sch.types))
+
+    lfills = {c: _fill_value(t) for c, t in _schema_types(left).items()}
+    rtypes = _schema_types(right)
+    rfills = {c: _fill_value(rtypes[c]) for c in value_cols}
+
+    def _full(n: int, v):
+        if isinstance(v, str):
+            return np.full(n, v, dtype=object)
+        return np.full(n, v)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[left_cols].copy()
+        for c, rc in zip(value_cols, rv_cols):
+            out[rc] = _full(len(df), rfills[c])
+        out["__kind"] = np.int8(0)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=df.index)
+        for c in left_cols:
+            if c == by or c == ts_col:
+                out[c] = df[c].to_numpy()
+            else:
+                out[c] = _full(len(df), lfills[c])
+        for c, rc in zip(value_cols, rv_cols):
+            out[rc] = df[c].to_numpy()
+        out["__kind"] = np.int8(1)
+        return out
+
+    tagged = left.map_batches(tag_left, batch_format="pandas").union(
+        right.select_columns(
+            sorted({by, ts_col, *value_cols})
+        ).map_batches(tag_right, batch_format="pandas")
+    )
+
+    out_cols = [*left_cols, *(f"asof_{c}" for c in value_cols)]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        is_r = g["__kind"].to_numpy() == 1
+        lf = g[~is_r]
+        if not len(lf):
+            return pd.DataFrame({c: [] for c in out_cols})
+        rt = g[is_r].sort_values([ts_col, *rv_cols], kind="stable")
+        lts = lf[ts_col].to_numpy()
+        rts = rt[ts_col].to_numpy()
+        side = "left" if strict else "right"
+        pos = np.searchsorted(rts, lts, side=side) - 1
+        out = {c: lf[c].to_numpy() for c in left_cols}
+        for c, rc in zip(value_cols, rv_cols):
+            vals = rt[rc].to_numpy()
+            picked = np.where(
+                pos >= 0, vals[np.clip(pos, 0, None)], default
+            )
+            out[f"asof_{c}"] = np.asarray(picked)
+        return pd.DataFrame(out)
+
+    return tagged.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
 def keep_first_per_bucket(
     events: rd.Dataset,
     *,

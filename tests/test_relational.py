@@ -176,3 +176,97 @@ def test_set_union_groupby_list_and_map_union(ray_session):
         ("b", 11),
     ]
     assert [tuple(kv) for kv in pdf.loc[2, "protocols"]] == [("c", 5)]
+
+
+def test_asof_join_two_tables(ray_session):
+    """Generic two-Dataset as-of join vs pandas merge_asof (backward,
+    inclusive), plus pinned tie and no-match semantics."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.relational import asof_join
+
+    left = pd.DataFrame(
+        {
+            "oid": [1, 2, 3, 4, 5],
+            "k": [1, 1, 1, 2, 2],
+            "ts": [10, 20, 5, 7, 7],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2, 2],
+            "ts": [10, 10, 15, 7, 3, 9],
+            "val": [100, 101, 102, 200, 201, 202],
+        }
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            by="k",
+            ts_col="ts",
+            value_cols=["val"],
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    # oid=1: ties at ts=10 -> max val 101; oid=2: last <=20 is ts15 (102);
+    # oid=3: no right <=5 -> -1; oid=4/5: ts<=7 -> val 200
+    assert out["asof_val"].tolist() == [101, 102, -1, 200, 200]
+
+    strict = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            by="k",
+            ts_col="ts",
+            value_cols=["val"],
+            strict=True,
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    # strict: oid=1 excludes ts=10 ties -> no earlier row -> -1;
+    # oid=2 (ts=20): greatest ts<20 is 15 -> 102
+    assert strict["asof_val"].tolist() == [-1, 102, -1, 201, 201]
+
+    # larger cross-check vs pandas merge_asof on events-shaped data
+    rng = np.random.default_rng(5)
+    n = 2000
+    lf = pd.DataFrame(
+        {
+            "oid": np.arange(n),
+            "k": rng.integers(0, 20, n),
+            "ts": rng.integers(0, 10_000, n),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 3000),
+            "ts": rng.integers(0, 10_000, 3000),
+            "val": np.arange(3000),
+        }
+    ).sort_values(["ts", "val"], kind="stable")
+    got = (
+        asof_join(
+            rd.from_pandas(lf),
+            rd.from_pandas(rt),
+            by="k",
+            ts_col="ts",
+            value_cols=["val"],
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        lf.sort_values("ts", kind="stable"),
+        rt,
+        on="ts",
+        by="k",
+        direction="backward",
+    ).sort_values("oid").reset_index(drop=True)
+    want_vals = want["val"].fillna(-1).astype(np.int64)
+    assert got["asof_val"].astype(np.int64).tolist() == want_vals.tolist()
