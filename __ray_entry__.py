@@ -396,6 +396,34 @@ def _q_sessionize_users(sf_dir):
     return sessionize(_t(sf_dir, "events", ["user_id", "ts"]), gap_s=1800)
 
 
+def _q_session_purchases(sf_dir):
+    """Range join: count purchase events inside each session window —
+    session intervals × purchase points co-partitioned on user_id."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        range_join_count,
+        sessionize,
+    )
+
+    ev = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+    sessions = sessionize(ev, gap_s=1800)
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        sec = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        return pa.table(
+            {"user_id": t["user_id"], "sec": pc.cast(sec, pa.int64())}
+        )
+
+    pts = ev.map_batches(purchases, batch_format="pyarrow")
+    return range_join_count(
+        sessions, pts, by="user_id", lo_col="start_s", hi_col="end_s",
+        ts_col="sec", out_col="n_purchases",
+    )
+
+
 def _q_last_event_per_user(sf_dir):
     from cryptowalletcommunitydetection_ray.stages.relational import last_per_key
 
@@ -907,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_counts": _q_source_counts,
         "events_dedup_first": _q_events_dedup_first,
         "sessionize_users": _q_sessionize_users,
+        "session_purchases": _q_session_purchases,
         "last_event_per_user": _q_last_event_per_user,
         "carry_forward_merge": _q_carry_forward_merge,
         "asof_last_click": _q_asof_last_click,
@@ -1144,6 +1173,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(sec) AS start_s, max(sec) AS end_s
             FROM s GROUP BY user_id, session_id
+        """,
+        "session_purchases": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS sec FROM events
+            ), g AS (
+                SELECT user_id, sec,
+                       CASE WHEN lag(sec) OVER w IS NULL
+                                 OR sec - lag(sec) OVER w > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+            ), s AS (
+                SELECT user_id, sec,
+                       CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY sec
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                           AS session_id
+                FROM g
+            ), sess AS (
+                SELECT user_id, session_id, count(*) AS n_events,
+                       min(sec) AS start_s, max(sec) AS end_s
+                FROM s GROUP BY user_id, session_id
+            ), p AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS sec
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT sess.user_id, sess.session_id, sess.n_events,
+                   sess.start_s, sess.end_s, count(p.sec) AS n_purchases
+            FROM sess LEFT JOIN p
+              ON p.user_id = sess.user_id
+             AND p.sec BETWEEN sess.start_s AND sess.end_s
+            GROUP BY 1, 2, 3, 4, 5
         """,
         "last_event_per_user": """
             SELECT user_id, event_id AS last_event_id, value AS last_value

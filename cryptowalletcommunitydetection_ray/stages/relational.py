@@ -489,6 +489,74 @@ def asof_join(
     return tagged.groupby(by).map_groups(per_key, batch_format="pandas")
 
 
+def range_join_count(
+    intervals: rd.Dataset,
+    points: rd.Dataset,
+    *,
+    by: str,
+    lo_col: str,
+    hi_col: str,
+    ts_col: str,
+    out_col: str = "n_points",
+) -> rd.Dataset:
+    """Range (interval) join, count form: for every interval row, the
+    number of points of the same ``by`` key with ``lo ≤ ts ≤ hi``.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    both sides co-partition on ``by`` with ONE groupby shuffle; within a
+    key the intervals are sorted by ``lo`` and points counted with two
+    vectorized ``searchsorted`` passes — O((I+P)·log I) per key,
+    overlapping intervals fully supported (each point may count toward
+    many intervals; the count per interval is #(ts ≥ lo) − #(ts > hi)
+    over the sorted point timestamps).  Output: all interval columns +
+    ``out_col``.
+    """
+
+    int_cols = list(intervals.schema().names)
+
+    def tag_int(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[int_cols].copy()
+        out["__pt"] = np.full(len(df), -1, dtype=np.int64)
+        out["__kind"] = np.int8(0)
+        return out
+
+    def tag_pt(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(index=df.index)
+        for c in int_cols:
+            if c == by:
+                out[c] = df[c].to_numpy()
+            else:
+                out[c] = np.zeros(len(df), dtype=np.int64)
+        out["__pt"] = df[ts_col].to_numpy().astype(np.int64)
+        out["__kind"] = np.int8(1)
+        return out
+
+    tagged = intervals.map_batches(tag_int, batch_format="pandas").union(
+        points.select_columns([by, ts_col]).map_batches(
+            tag_pt, batch_format="pandas"
+        )
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        is_pt = g["__kind"].to_numpy() == 1
+        iv = g[~is_pt]
+        if not len(iv):
+            return pd.DataFrame(
+                {**{c: [] for c in int_cols}, out_col: []}
+            )
+        ts = np.sort(g["__pt"].to_numpy()[is_pt])
+        lo = iv[lo_col].to_numpy().astype(np.int64)
+        hi = iv[hi_col].to_numpy().astype(np.int64)
+        n = np.searchsorted(ts, hi, side="right") - np.searchsorted(
+            ts, lo, side="left"
+        )
+        out = {c: iv[c].to_numpy() for c in int_cols}
+        out[out_col] = n.astype(np.int64)
+        return pd.DataFrame(out)
+
+    return tagged.groupby(by).map_groups(per_key, batch_format="pandas")
+
+
 def keep_first_per_bucket(
     events: rd.Dataset,
     *,

@@ -270,3 +270,37 @@ def test_asof_join_two_tables(ray_session):
     ).sort_values("oid").reset_index(drop=True)
     want_vals = want["val"].fillna(-1).astype(np.int64)
     assert got["asof_val"].astype(np.int64).tolist() == want_vals.tolist()
+
+
+def test_range_join_count_overlapping(ray_session):
+    """Overlapping intervals: each point counts toward every covering
+    interval (two searchsorted passes, no per-point scan)."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        range_join_count,
+    )
+
+    iv = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "iid": [0, 1, 2, 3],
+            "lo": [0, 5, 20, 0],
+            "hi": [10, 15, 30, 100],
+        }
+    )
+    pts = pd.DataFrame(
+        {"k": [1, 1, 1, 1, 2, 3], "sec": [5, 10, 12, 25, 50, 1]}
+    )
+    out = (
+        range_join_count(
+            rd.from_pandas(iv), rd.from_pandas(pts),
+            by="k", lo_col="lo", hi_col="hi", ts_col="sec",
+        )
+        .to_pandas()
+        .sort_values("iid")
+        .reset_index(drop=True)
+    )
+    # iid0 [0,10]: pts 5,10 -> 2; iid1 [5,15]: 5,10,12 -> 3 (overlap!);
+    # iid2 [20,30]: 25 -> 1; iid3 k=2: 50 -> 1
+    assert out["n_points"].tolist() == [2, 3, 1, 1]
