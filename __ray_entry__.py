@@ -783,6 +783,19 @@ def _q_bpe_token_counts(sf_dir):
     return token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_approx_distinct_users(sf_dir):
+    """HyperLogLog approximate distinct users per event type — mergeable
+    register sketch as a native AggregateFn (deterministic estimate,
+    partition-invariant; accuracy pinned in tests/test_sketches.py —
+    non-SQL by nature, rows-only driver check)."""
+    from cryptowalletcommunitydetection_ray.stages.sketches import (
+        approx_distinct_by,
+    )
+
+    ev = _t(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct_by(ev, "event_type", "user_id")
+
+
 def _q_multimodal_features(sf_dir):
     from cryptowalletcommunitydetection_ray.stages.multimodal import (
         attach_fake_payloads,
@@ -972,6 +985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_pages": _q_labelprop_pages,
         "host_communities_pages": _q_host_communities_pages,
         "degree_census": _q_degree_census,
+        # sketches (deterministic estimate; non-SQL → rows-only)
+        "approx_distinct_users": _q_approx_distinct_users,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
     }

@@ -1,0 +1,64 @@
+"""HyperLogLog approximate distinct: accuracy, determinism, mergeability."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_registers_merge_equals_union():
+    from cryptowalletcommunitydetection_ray.stages.sketches import (
+        _registers,
+        hll_estimate,
+    )
+
+    a = np.array([f"x{i}" for i in range(5000)], dtype=object)
+    b = np.array([f"x{i}" for i in range(2500, 7500)], dtype=object)
+    ra, rb = _registers(a, 12), _registers(b, 12)
+    runion = _registers(np.concatenate([a, b]), 12)
+    assert np.array_equal(np.maximum(ra, rb), runion)  # mergeable
+    est = hll_estimate(runion)
+    assert abs(est - 7500) / 7500 < 0.05
+
+
+def test_approx_distinct_accuracy_and_determinism(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sketches import (
+        approx_distinct,
+    )
+
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 20_000, 100_000)  # ~19.9k distinct
+    ds = rd.from_pandas(pd.DataFrame({"v": vals}))
+    true = len(np.unique(vals))
+    est1 = approx_distinct(ds, "v")
+    est2 = approx_distinct(ds.repartition(7), "v")  # partition-invariant
+    assert est1 == est2
+    assert abs(est1 - true) / true < 0.05
+
+
+def test_approx_distinct_by_matches_per_group(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sketches import (
+        _registers,
+        approx_distinct_by,
+        hll_estimate,
+    )
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 30_000),
+            "v": rng.integers(0, 3_000, 30_000),
+        }
+    )
+    got = (
+        approx_distinct_by(rd.from_pandas(df), "k", "v")
+        .to_pandas()
+        .set_index("k")["approx_nd"]
+    )
+    for k, g in df.groupby("k"):
+        want = int(round(hll_estimate(_registers(g["v"].to_numpy(), 12))))
+        assert got[k] == want  # engine == single-pass oracle, exactly
+        true = g["v"].nunique()
+        assert abs(got[k] - true) / true < 0.06
