@@ -783,6 +783,25 @@ def _q_bpe_token_counts(sf_dir):
     return token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_quantiles_event_value(sf_dir):
+    """Histogram-sketch quantiles of events.value — the estimator is
+    pinned (right-edge of the first bin reaching q·n over 1024 fixed
+    bins) so the DuckDB oracle reproduces it EXACTLY: a hash-green
+    APPROXIMATE aggregate."""
+    from cryptowalletcommunitydetection_ray.stages.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = _t(sf_dir, "events", ["value"])
+    df = histogram_quantiles(ev, "value", [0.1, 0.5, 0.9, 0.99], bins=1024)
+    return pd.DataFrame(
+        {
+            "q_e2": np.rint(df["q"].to_numpy() * 100).astype(np.int64),
+            "est_e6": np.rint(df["est"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
+
+
 def _q_approx_distinct_users(sf_dir):
     """HyperLogLog approximate distinct users per event type — mergeable
     register sketch as a native AggregateFn (deterministic estimate,
@@ -985,8 +1004,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_pages": _q_labelprop_pages,
         "host_communities_pages": _q_host_communities_pages,
         "degree_census": _q_degree_census,
-        # sketches (deterministic estimate; non-SQL → rows-only)
+        # sketches (deterministic estimates)
         "approx_distinct_users": _q_approx_distinct_users,
+        "quantiles_event_value": _q_quantiles_event_value,
         # multimodal plumbing
         "multimodal_features": _q_multimodal_features,
     }
@@ -1314,6 +1334,31 @@ def oracle_sql() -> dict[str, str]:
                                  AS BIGINT)) AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
+        """,
+        "quantiles_event_value": """
+            WITH mm AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+            k AS (
+                SELECT lo, hi, (hi - lo) / 1024 AS w,
+                       (SELECT count(*) FROM events) AS n
+                FROM mm
+            ), hist AS (
+                SELECT LEAST(1023,
+                             CAST(floor((value - k.lo) / k.w) AS BIGINT)) AS bin,
+                       count(*) AS c
+                FROM events, k GROUP BY 1
+            ), cum AS (
+                SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM hist
+            ), qs(q) AS (VALUES (0.10), (0.50), (0.90), (0.99)),
+            pick AS (
+                SELECT q, min(bin) AS b
+                FROM qs JOIN cum ON cum.cum >= CAST(q AS DOUBLE) *
+                     (SELECT n FROM k)
+                GROUP BY q
+            )
+            SELECT CAST(round(CAST(q AS DOUBLE) * 100) AS BIGINT) AS q_e2,
+                   CAST(round((k.lo + k.w * (b + 1)) * 1000000) AS BIGINT)
+                       AS est_e6
+            FROM pick, k
         """,
         "doc_token_stats": r"""
             SELECT doc_id,

@@ -101,3 +101,67 @@ def approx_distinct_by(
     return ds.groupby(key).aggregate(
         hll_distinct(col, p=p, alias_name=alias_name)
     )
+
+
+def histogram_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs,
+    *,
+    bins: int = 1024,
+) -> pd.DataFrame:
+    """Approximate quantiles via a fixed-bin histogram sketch — TWO
+    streaming passes (min/max, then bin counts), no shuffle of the data
+    (only the 8·bins-byte count vector merges).
+
+    The estimator is pinned so a SQL oracle can reproduce it EXACTLY
+    (both sides do the same IEEE-double ops):
+        w     = (hi - lo) / bins
+        bin(v)= min(bins-1, floor((v - lo) / w))
+        for target t = q·n: find first bin with cumulative count ≥ t,
+        estimate = lo + w · (bin + 1)   (right edge of that bin)
+    Right-edge (not interpolated) keeps the formula branch-free and
+    float-robust.  Returns DataFrame(q, est) with est as float64.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    if hi <= lo:
+        return pd.DataFrame({"q": list(qs), "est": [lo] * len(list(qs))})
+    w = (hi - lo) / bins
+
+    def bin_counts(regs: np.ndarray, block) -> np.ndarray:
+        if isinstance(block, pa.Table):
+            vals = block[col].to_numpy(zero_copy_only=False)
+        else:
+            vals = np.asarray(block[col])
+        if len(vals) == 0:
+            return regs
+        b = np.floor((vals.astype(np.float64) - lo) / w).astype(np.int64)
+        b = np.minimum(b, bins - 1)
+        out = regs.copy()
+        np.add.at(out, b, 1)
+        return out
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(bins, dtype=np.int64),
+        accumulate_block=bin_counts,
+        merge=lambda a, b: a + b,
+        finalize=lambda regs: regs,
+        name="hist",
+    )
+    regs = np.asarray(ds.aggregate(agg)["hist"])
+    cum = np.cumsum(regs)
+    n = int(cum[-1])
+    out_q, out_e = [], []
+    for q in qs:
+        t = q * n
+        b = int(np.searchsorted(cum, t, side="left"))
+        b = min(b, bins - 1)
+        out_q.append(float(q))
+        out_e.append(lo + w * (b + 1))
+    return pd.DataFrame({"q": out_q, "est": out_e})

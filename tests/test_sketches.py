@@ -62,3 +62,27 @@ def test_approx_distinct_by_matches_per_group(ray_session):
         assert got[k] == want  # engine == single-pass oracle, exactly
         true = g["v"].nunique()
         assert abs(got[k] - true) / true < 0.06
+
+
+def test_histogram_quantiles(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sketches import (
+        histogram_quantiles,
+    )
+
+    rng = np.random.default_rng(0)
+    v = rng.random(100_000) * 50
+    ds = rd.from_pandas(pd.DataFrame({"v": v}))
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = histogram_quantiles(ds, "v", qs, bins=1024)
+    true = np.quantile(v, qs)
+    w = (v.max() - v.min()) / 1024
+    assert np.all(np.abs(got["est"].to_numpy() - true) <= 2 * w + 1e-9)
+    # partition-invariant (deterministic sketch)
+    got2 = histogram_quantiles(ds.repartition(9), "v", qs, bins=1024)
+    assert got["est"].tolist() == got2["est"].tolist()
+    # constant column edge: every quantile is the constant
+    const = rd.from_pandas(pd.DataFrame({"v": np.full(100, 7.5)}))
+    g = histogram_quantiles(const, "v", [0.5])
+    assert g["est"].tolist() == [7.5]
