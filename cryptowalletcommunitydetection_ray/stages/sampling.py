@@ -1,0 +1,90 @@
+"""Deterministic sampling / data-mixing primitives.
+
+Large-scale training-data pipelines sample by CONSISTENT HASH, not RNG:
+hash(id) < rate·2^64 keeps a reproducible, partition-invariant subset
+(re-runs, retries and resumes all agree on membership; two pipelines
+sampling the same rate pick the SAME rows, and rate r2 > r1 yields a
+superset — nested samples for scaling-law curves).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..context import hash64
+
+_FULL = float(2**64)
+
+
+def _keep_mask(ids: np.ndarray, rate: float, salt: str) -> np.ndarray:
+    if rate >= 1.0:
+        return np.ones(len(ids), dtype=bool)
+    if rate <= 0.0:
+        return np.zeros(len(ids), dtype=bool)
+    salted = np.array([f"{salt}\x1f{i}" for i in ids], dtype=object)
+    h = hash64(salted).astype(np.uint64)
+    return h < np.uint64(int(rate * _FULL))
+
+
+def consistent_sample(
+    ds: rd.Dataset, id_col: str, rate: float, *, salt: str = ""
+) -> rd.Dataset:
+    """Keep ~rate of rows, membership a pure function of (salt, id):
+    reproducible across runs/partitionings; larger rates are supersets
+    of smaller ones (same salt)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_keep_mask(df[id_col].to_numpy(), rate, salt)]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    rates: dict,
+    *,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> rd.Dataset:
+    """Per-stratum consistent sampling (data-mixing rates by source/lang):
+    rows of stratum k kept at rates.get(k, default_rate).  The rate table
+    is closed over (broadcast with the task, tiny); membership stays a
+    pure function of (salt, id)."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        keys = df[key_col].to_numpy()
+        h = hash64(
+            np.array([f"{salt}\x1f{i}" for i in ids], dtype=object)
+        ).astype(np.uint64)
+        rate_arr = np.array(
+            [float(rates.get(k, default_rate)) for k in keys]
+        )
+        keep = h < (np.clip(rate_arr, 0.0, 1.0) * _FULL).astype(np.uint64)
+        return df[keep]
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def mix_datasets(
+    parts: list,
+    id_col: str,
+    *,
+    salt: str = "mix",
+) -> rd.Dataset:
+    """Weighted mixture: ``parts`` is [(Dataset, rate), ...]; each source
+    is consistent-sampled at its rate (a distinct salt per source index)
+    and the survivors unioned — the deterministic data-mixing step of a
+    training corpus build.  Streaming end-to-end (no materialization)."""
+    sampled = [
+        consistent_sample(ds, id_col, rate, salt=f"{salt}:{i}")
+        for i, (ds, rate) in enumerate(parts)
+    ]
+    out = sampled[0]
+    return out.union(*sampled[1:]) if len(sampled) > 1 else out

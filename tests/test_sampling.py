@@ -1,0 +1,76 @@
+"""Consistent sampling: determinism, nesting, stratified rates, mixing."""
+
+import numpy as np
+import pandas as pd
+
+
+def _docs(n=8000):
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n),
+            "source": np.array(["web", "code", "wiki", "web"])[
+                np.arange(n) % 4
+            ],
+        }
+    )
+
+
+def test_consistent_sample_properties(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sampling import (
+        consistent_sample,
+    )
+
+    ds = rd.from_pandas(_docs())
+    s20 = set(
+        consistent_sample(ds, "doc_id", 0.2).to_pandas()["doc_id"]
+    )
+    s20b = set(
+        consistent_sample(ds.repartition(7), "doc_id", 0.2).to_pandas()["doc_id"]
+    )
+    assert s20 == s20b  # partition-invariant
+    assert abs(len(s20) / 8000 - 0.2) < 0.03
+    s50 = set(
+        consistent_sample(ds, "doc_id", 0.5).to_pandas()["doc_id"]
+    )
+    assert s20 <= s50  # nested samples
+    # different salt -> different (roughly independent) subset
+    alt = set(
+        consistent_sample(ds, "doc_id", 0.2, salt="x").to_pandas()["doc_id"]
+    )
+    assert alt != s20
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sampling import (
+        stratified_sample,
+    )
+
+    ds = rd.from_pandas(_docs())
+    out = stratified_sample(
+        ds, "source", "doc_id", {"web": 0.5, "code": 0.1}
+    ).to_pandas()
+    frac = out.groupby("source").size() / _docs().groupby("source").size()
+    assert abs(frac["web"] - 0.5) < 0.05
+    assert abs(frac["code"] - 0.1) < 0.05
+    assert "wiki" not in set(out["source"])  # default_rate=0 drops
+
+
+def test_mix_datasets(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sampling import (
+        mix_datasets,
+    )
+
+    a = rd.from_pandas(_docs(4000))
+    b = rd.from_pandas(_docs(4000))
+    mixed = mix_datasets([(a, 0.75), (b, 0.25)], "doc_id").to_pandas()
+    assert abs(len(mixed) - (0.75 + 0.25) * 4000) < 300
+    # deterministic: same call, same rows
+    mixed2 = mix_datasets([(a, 0.75), (b, 0.25)], "doc_id").to_pandas()
+    assert sorted(mixed["doc_id"]) != []  # non-empty
+    assert len(mixed) == len(mixed2)
