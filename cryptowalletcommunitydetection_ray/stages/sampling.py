@@ -88,3 +88,69 @@ def mix_datasets(
     ]
     out = sampled[0]
     return out.union(*sampled[1:]) if len(sampled) > 1 else out
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    id_col: str,
+    tokens_col: str,
+    max_tokens: int,
+    *,
+    num_partitions: int = 64,
+) -> rd.Dataset:
+    """Greedy sequence packing: assign docs to training sequences so each
+    sequence's token sum stays ≤ ``max_tokens`` (docs longer than the
+    budget get a sequence of their own).
+
+    Partitioning contract (documented): docs are hash-routed by id into
+    ``num_partitions`` groups and packed INDEPENDENTLY per group in
+    ascending id order — deterministic for a fixed ``num_partitions``
+    regardless of input partitioning, and embarrassingly parallel (no
+    global sequential scan, which cannot stream at 100 TB).  Sequence ids
+    are globally unique: ``partition * 2^40 + local_seq``.
+
+    Output: (id, tokens, seq_id, seq_tokens) — seq_tokens is the packed
+    total of that sequence (repeated per member).
+    """
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        out = df[[id_col, tokens_col]].copy()
+        out["__part"] = (
+            ids.astype(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return out
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="stable")
+        part = int(g["__part"].iloc[0])
+        toks = np.minimum(
+            g[tokens_col].to_numpy().astype(np.int64), max_tokens
+        )
+        seq = np.empty(len(g), dtype=np.int64)
+        sums: list[int] = []
+        cur, cur_sum = 0, 0
+        for i, t in enumerate(toks):
+            if cur_sum + t > max_tokens and cur_sum > 0:
+                sums.append(cur_sum)
+                cur += 1
+                cur_sum = 0
+            seq[i] = cur
+            cur_sum += int(t)
+        sums.append(cur_sum)
+        seq_tokens = np.array(sums, dtype=np.int64)[seq]
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                tokens_col: g[tokens_col].to_numpy(),
+                "seq_id": (np.int64(part) << np.int64(40)) + seq,
+                "seq_tokens": seq_tokens,
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, tokens_col])
+        .map_batches(route, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pack, batch_format="pandas")
+    )

@@ -74,3 +74,42 @@ def test_mix_datasets(ray_session):
     mixed2 = mix_datasets([(a, 0.75), (b, 0.25)], "doc_id").to_pandas()
     assert sorted(mixed["doc_id"]) != []  # non-empty
     assert len(mixed) == len(mixed2)
+
+
+def test_pack_sequences(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sampling import (
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5000), "n_tok": rng.integers(10, 900, 5000)}
+    )
+    out = pack_sequences(
+        rd.from_pandas(df), "doc_id", "n_tok", max_tokens=2048,
+        num_partitions=8,
+    ).to_pandas()
+    assert len(out) == len(df)
+    # every sequence respects the budget (capped doc tokens)
+    sums = out.groupby("seq_id")["n_tok"].apply(
+        lambda s: np.minimum(s, 2048).sum()
+    )
+    assert (sums <= 2048).all()
+    assert (out.groupby("seq_id")["seq_tokens"].nunique() == 1).all()
+    # deterministic under input repartitioning
+    out2 = pack_sequences(
+        rd.from_pandas(df).repartition(5), "doc_id", "n_tok",
+        max_tokens=2048, num_partitions=8,
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # oversized doc gets its own sequence
+    big = pd.DataFrame({"doc_id": [1, 2], "n_tok": [5000, 10]})
+    got = pack_sequences(
+        rd.from_pandas(big), "doc_id", "n_tok", max_tokens=2048,
+        num_partitions=1,
+    ).to_pandas().sort_values("doc_id")
+    assert got["seq_id"].nunique() == 2
