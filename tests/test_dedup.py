@@ -204,3 +204,35 @@ def test_dup_groups_distributed_matches_union_find(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert got.astype(np.int64).equals(want.astype(np.int64))
+
+
+def test_copartitioned_jaccard_hot_doc(ray_session):
+    """A hub doc appearing in hundreds of pairs routes all its pairs to
+    one partition - verify stays correct (shingle cache computes the hub
+    text once per partition, results exact)."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        copartitioned_jaccard,
+    )
+
+    n = 300
+    texts = {0: "a b c d e f g h"}
+    for i in range(1, n + 1):
+        texts[i] = f"a b c d e x{i} y{i} z{i}"
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+    )
+    cand = pd.DataFrame({"a": [0] * n, "b": list(range(1, n + 1))})
+    out = copartitioned_jaccard(
+        rd.from_pandas(cand), docs, num_partitions=8
+    ).to_pandas()
+    assert len(out) == n
+    sa = shingle_hashes(texts[0], 3)
+    for _, r in out.sample(10, random_state=0).iterrows():
+        sb = shingle_hashes(texts[int(r["b"])], 3)
+        ni = len(np.intersect1d(sa, sb))
+        assert r["n_inter"] == ni
+        assert r["n_union"] == len(sa) + len(sb) - ni
