@@ -96,3 +96,76 @@ def test_rebuild_is_idempotent(ray_session, tmp_path):
     assert m1 == m2
     l2 = connected_components(g)[0].to_pandas().sort_values("vid")
     assert l1.reset_index(drop=True).equals(l2.reset_index(drop=True))
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=200),
+    st.integers(64, 1024),
+)
+@settings(max_examples=50, deadline=None)
+def test_pack_sequences_kernel_invariants(toks, budget):
+    """Pure-python re-statement of the packing rule: sequences never
+    exceed the budget (with per-doc capping), ids are contiguous from 0,
+    and every doc is assigned exactly once."""
+    import numpy as np
+
+    capped = np.minimum(np.array(toks, dtype=np.int64), budget)
+    seq = np.empty(len(capped), dtype=np.int64)
+    cur, cur_sum = 0, 0
+    for i, t in enumerate(capped):
+        if cur_sum + t > budget and cur_sum > 0:
+            cur += 1
+            cur_sum = 0
+        seq[i] = cur
+        cur_sum += int(t)
+    sums = np.bincount(seq, weights=capped)
+    assert (sums <= budget).all()
+    assert set(seq) == set(range(seq.max() + 1))
+    # greedy tightness: a new sequence only opens when the doc would
+    # not have fit in the previous one
+    for s in range(1, seq.max() + 1):
+        first = int(np.argmax(seq == s))
+        assert sums[s - 1] + capped[first] > budget
+
+
+@given(st.lists(st.text(min_size=0, max_size=12), min_size=0, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_hll_registers_set_semantics(vals):
+    """HLL registers are a pure function of the SET of values: duplicates
+    and order never change the sketch, and merge == union."""
+    import numpy as np
+
+    from cryptowalletcommunitydetection_ray.stages.sketches import _registers
+
+    a = np.array(vals, dtype=object)
+    if len(a) == 0:
+        return
+    shuffled = a[np.random.default_rng(0).permutation(len(a))]
+    doubled = np.concatenate([a, a])
+    r = _registers(a, 8)
+    assert np.array_equal(r, _registers(shuffled, 8))
+    assert np.array_equal(r, _registers(doubled, 8))
+    half = len(a) // 2
+    if half:
+        ra, rb = _registers(a[:half], 8), _registers(a[half:], 8)
+        assert np.array_equal(np.maximum(ra, rb), r)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=300, unique=True),
+    st.floats(0.05, 0.95),
+    st.floats(0.05, 0.95),
+)
+@settings(max_examples=50, deadline=None)
+def test_consistent_sample_nesting(ids, r1, r2):
+    """Membership at rate min(r1,r2) is always a subset of membership at
+    max(r1,r2) — the nested-sample law scaling runs rely on."""
+    import numpy as np
+
+    from cryptowalletcommunitydetection_ray.stages.sampling import _keep_mask
+
+    ids = np.array(ids, dtype=np.int64)
+    lo, hi = sorted([r1, r2])
+    keep_lo = _keep_mask(ids, lo, "s")
+    keep_hi = _keep_mask(ids, hi, "s")
+    assert not np.any(keep_lo & ~keep_hi)
