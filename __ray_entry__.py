@@ -794,10 +794,15 @@ def _q_quantiles_event_value(sf_dir):
 
     ev = _t(sf_dir, "events", ["value"])
     df = histogram_quantiles(ev, "value", [0.1, 0.5, 0.9, 0.99], bins=1024)
+    # floor(x·1e6 + 0.5): an explicit half-UP rule both engines compute
+    # identically (np.rint is half-even, DuckDB round() half-away — they
+    # disagree exactly when est·1e6 lands on .5, observed at sf0.001)
     return pd.DataFrame(
         {
             "q_e2": np.rint(df["q"].to_numpy() * 100).astype(np.int64),
-            "est_e6": np.rint(df["est"].to_numpy() * 1e6).astype(np.int64),
+            "est_e6": np.floor(df["est"].to_numpy() * 1e6 + 0.5).astype(
+                np.int64
+            ),
         }
     )
 
@@ -1356,8 +1361,8 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY q
             )
             SELECT CAST(round(CAST(q AS DOUBLE) * 100) AS BIGINT) AS q_e2,
-                   CAST(round((k.lo + k.w * (b + 1)) * 1000000) AS BIGINT)
-                       AS est_e6
+                   CAST(floor((k.lo + k.w * (b + 1)) * 1000000 + 0.5)
+                        AS BIGINT) AS est_e6
             FROM pick, k
         """,
         "doc_token_stats": r"""
