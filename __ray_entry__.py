@@ -717,15 +717,19 @@ def _q_pagerank_star(sf_dir):
     g = _star_graph(sf_dir)
     n_total = read_meta(g)["num_vertices"]
     ranks, _ = pagerank(g, tol=1e-15, max_iter=400)
-    scale = float(n_total) * 1e6
+    # e4 (not e6) fixed point: the iterate differs from the closed form
+    # by the convergence/float residual (~1e-5 in N-scaled e6 units), so
+    # e6 rounding puts ~1 value per 15k within a quantization edge; the
+    # 100x coarser quantum makes the edge probability negligible.
+    scale = float(n_total) * 1e4
 
     def fix(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "vid": df["vid"].to_numpy(),
-                "rank_n_e6": np.rint(df["rank"].to_numpy() * scale).astype(
-                    np.int64
-                ),
+                "rank_n_e4": np.floor(
+                    df["rank"].to_numpy() * scale + 0.5
+                ).astype(np.int64),
             }
         )
 
@@ -1101,15 +1105,15 @@ _PAGERANK_STAR_SQL = """
         FROM region r
     )
     SELECT 4 * c_custkey + 3 AS vid,
-           CAST(round(S * N * 1000000) AS BIGINT) AS rank_n_e6
+           CAST(floor(S * N * 10000 + 0.5) AS BIGINT) AS rank_n_e4
     FROM customer, s
     UNION ALL
     SELECT 4 * n_nationkey + 1,
-           CAST(round(S * (1 + al * c_n) * N * 1000000) AS BIGINT)
+           CAST(floor(S * (1 + al * c_n) * N * 10000 + 0.5) AS BIGINT)
     FROM nat, s
     UNION ALL
     SELECT 4 * r_regionkey,
-           CAST(round(S * (1 + al * nn_r + al * al * cc_r) * N * 1000000)
+           CAST(floor(S * (1 + al * nn_r + al * al * cc_r) * N * 10000 + 0.5)
                 AS BIGINT)
     FROM reg, s
 """
