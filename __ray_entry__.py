@@ -341,7 +341,10 @@ def _q_q1_pricing(sf_dir):
     def scale_cols(t):
         t = _scale_int(t, "sum_qty", "sum_qty_e2", 100)
         t = _scale_int(t, "sum_base_price", "sum_base_price_e2", 100)
-        t = _scale_int(t, "sum_disc_price", "sum_disc_price_e4", 10000)
+        # e2, not e4: disc_price sums reach ~5e9 at sf0.1 and the e4
+        # quantum (1e-4 relative ~1e-14 of the sum) is inside float64
+        # accumulation noise across differing sum orders — observed flips
+        t = _scale_int(t, "sum_disc_price", "sum_disc_price_e2", 100)
         return t
 
     return out.map_batches(scale_cols, batch_format="pyarrow")
@@ -1185,8 +1188,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_e2,
                    CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
                        AS sum_base_price_e2,
-                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000)
-                        AS BIGINT) AS sum_disc_price_e4,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS sum_disc_price_e2,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1378,14 +1381,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": r"""
             SELECT doc_id, length(text) AS n_chars,
                    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                     round(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
-                           / length(text)::DOUBLE, 6) END AS punct_ratio,
+                     floor(length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                           / length(text)::DOUBLE * 1000000 + 0.5) / 1000000
+                   END AS punct_ratio,
                    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                     round(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                           / length(text)::DOUBLE, 6) END AS digit_ratio,
+                     floor(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           / length(text)::DOUBLE * 1000000 + 0.5) / 1000000
+                   END AS digit_ratio,
                    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-                     round((length(text) - length(replace(text, ' ', '')))
-                           / length(text)::DOUBLE, 6) END AS space_ratio
+                     floor((length(text) - length(replace(text, ' ', '')))
+                           / length(text)::DOUBLE * 1000000 + 0.5) / 1000000
+                   END AS space_ratio
             FROM documents
         """,
         "exact_dedup_docs": """

@@ -9,7 +9,10 @@ reproduce it exactly:
 - BPE-ish tokens: the GPT-2 pre-tokenizer regex (contractions, letter runs,
   digit runs, punctuation runs, whitespace runs collapse);
 - punctuation: the 32 ASCII punctuation bytes; digits 0-9; uppercase A-Z;
-- ratios are count/len(text) (0.0 for empty text);
+- ratios are count/len(text) (0.0 for empty text), quantized to 6 dp with
+  an explicit HALF-UP rule (floor(x*1e6+0.5)/1e6) — counts/len can be an
+  exact binary fraction (e.g. 21/128 = .1640625) where half-even (numpy)
+  and half-away (DuckDB) round differently;
 - fingerprint: polynomial rolling hash (base 1000003, mod 2^61-1) over the
   64-bit hashes of the whitespace tokens;
 - language-ID: argmax of per-language stopword hit counts over lowercased
@@ -63,14 +66,17 @@ def quality_frame(texts: pd.Series) -> pd.DataFrame:
     n_chars = s.str.len().astype(np.int64)
     n_tokens = s.str.count(r"\S+").astype(np.int64)
     denom = n_chars.replace(0, 1).astype(np.float64)
+    def r6(v):
+        return np.floor(v.to_numpy() * 1e6 + 0.5) / 1e6
+
     return pd.DataFrame(
         {
             "n_chars": n_chars,
             "n_tokens": n_tokens,
-            "punct_ratio": (s.str.count(PUNCT_CLASS) / denom).round(6),
-            "digit_ratio": (s.str.count(r"[0-9]") / denom).round(6),
-            "upper_ratio": (s.str.count(r"[A-Z]") / denom).round(6),
-            "space_ratio": (s.str.count(r" ") / denom).round(6),
+            "punct_ratio": r6(s.str.count(PUNCT_CLASS) / denom),
+            "digit_ratio": r6(s.str.count(r"[0-9]") / denom),
+            "upper_ratio": r6(s.str.count(r"[A-Z]") / denom),
+            "space_ratio": r6(s.str.count(r" ") / denom),
         }
     )
 
