@@ -1036,7 +1036,7 @@ _ANN_TOPK_SQL = """
         WHERE e.vec_id <> q.qid
     )
     SELECT query_id, neighbor_id,
-           CAST(round(sim_raw * 1000000) AS BIGINT) AS sim_e6,
+           CAST(floor(sim_raw * 1000000 + 0.5) AS BIGINT) AS sim_e6,
            CAST(row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim_raw DESC, neighbor_id)
                 AS BIGINT) AS rnk
@@ -1403,9 +1403,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": _ANN_TOPK_SQL,
         "embed_neardup": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                   CAST(round(list_cosine_similarity(
+                   CAST(floor(list_cosine_similarity(
                             CAST(a.embedding AS DOUBLE[]),
-                            CAST(b.embedding AS DOUBLE[])) * 1000000)
+                            CAST(b.embedding AS DOUBLE[])) * 1000000 + 0.5)
                         AS BIGINT) AS sim_e6
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

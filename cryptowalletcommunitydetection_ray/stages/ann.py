@@ -123,7 +123,10 @@ def _merge_topk(k: int, exclude_self: bool):
                 "query_id": g["query_id"].to_numpy(),
                 "neighbor_id": g["neighbor_id"].to_numpy(),
                 # scaled-int fixed point: hash-exact across engines
-                "sim_e6": np.round(g["sim"].to_numpy() * 1e6).astype(np.int64),
+                # half-up (not rint): pinned cross-engine rounding rule
+                "sim_e6": np.floor(
+                    g["sim"].to_numpy() * 1e6 + 0.5
+                ).astype(np.int64),
                 "rnk": np.arange(1, len(g) + 1, dtype=np.int64),
             }
         )
@@ -286,7 +289,9 @@ class _PairScorer:
             {
                 "a_id": a[keep],
                 "b_id": b[keep],
-                "sim_e6": np.round(sims[bi, cj][keep] * 1e6).astype(np.int64),
+                "sim_e6": np.floor(
+                    sims[bi, cj][keep] * 1e6 + 0.5
+                ).astype(np.int64),
             }
         )
 
@@ -389,7 +394,7 @@ def lsh_neardup_pairs_cosine(
             {
                 "a_id": ids[ii][keep],
                 "b_id": ids[jj][keep],
-                "sim_e6": np.round(s[keep] * 1e6).astype(np.int64),
+                "sim_e6": np.floor(s[keep] * 1e6 + 0.5).astype(np.int64),
             }
         )
 
