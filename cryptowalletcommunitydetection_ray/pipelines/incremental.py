@@ -115,9 +115,12 @@ def run_incremental(
     import pyarrow.parquet as pq
 
     lo_us = hi_us = None
+    ts_type = None  # the ts field's REAL arrow type (timestamp or int64)
     for path in _parquet_files(events_path):
         md = pq.ParquetFile(path).metadata
-        ts_idx = md.schema.to_arrow_schema().get_field_index("ts")
+        arrow_schema = md.schema.to_arrow_schema()
+        ts_idx = arrow_schema.get_field_index("ts")
+        ts_type = arrow_schema.field(ts_idx).type
         for rg in range(md.num_row_groups):
             col = md.row_group(rg).column(ts_idx)
             st = col.statistics
@@ -150,13 +153,20 @@ def run_incremental(
         hi_w = (w + window_s) * 1_000_000
         # the window predicate is pushed into the READ: parquet row-group
         # stats on ts prune non-overlapping groups, so a catch-up over W
-        # windows reads each row group O(1) times (plus stats), not W
+        # windows reads each row group O(1) times (plus stats, not W).
+        # The comparison scalars are built with the file's REAL ts type
+        # (timestamp('us') or int64 microseconds — the stats pass supports
+        # both) so an int64-ts stream doesn't fail with an Arrow type error
+        if pa.types.is_timestamp(ts_type):
+            mul = {"s": 1e-6, "ms": 1e-3, "us": 1, "ns": 1e3}[ts_type.unit]
+            lo_v = pa.scalar(int(lo_w * mul), pa.timestamp(ts_type.unit))
+            hi_v = pa.scalar(int(hi_w * mul), pa.timestamp(ts_type.unit))
+        else:
+            lo_v = pa.scalar(lo_w, pa.int64())
+            hi_v = pa.scalar(hi_w, pa.int64())
         wds = rd.read_parquet(
             events_path,
-            filter=(
-                (pc.field("ts") >= pa.scalar(lo_w, pa.timestamp("us")))
-                & (pc.field("ts") < pa.scalar(hi_w, pa.timestamp("us")))
-            ),
+            filter=((pc.field("ts") >= lo_v) & (pc.field("ts") < hi_v)),
         )
         result = process_window(wds)
         part_dir = os.path.join(out_dir, f"window={w}")

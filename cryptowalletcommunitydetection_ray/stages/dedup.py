@@ -27,6 +27,19 @@ from ..context import hash64
 _PART = "__part"
 
 
+def _jaccard6(inter: np.ndarray, union: np.ndarray) -> np.ndarray:
+    """inter/union quantized with the repo's pinned half-UP 6dp rule
+    (floor(x·1e6 + 0.5)/1e6) — np.round is half-EVEN and flips vs SQL
+    round() exactly on exact binary fractions like inter/union."""
+    j = np.divide(
+        inter.astype(np.float64),
+        union.astype(np.float64),
+        out=np.zeros(len(inter), np.float64),
+        where=union > 0,
+    )
+    return np.floor(j * 1e6 + 0.5) / 1e6
+
+
 def exact_dedup(
     ds: rd.Dataset,
     key_cols: Sequence[str],
@@ -319,15 +332,7 @@ def copartitioned_jaccard(
                 "b": pairs["b"].to_numpy(),
                 "n_inter": inter,
                 "n_union": union,
-                "jaccard": np.round(
-                    np.divide(
-                        inter,
-                        union,
-                        out=np.zeros(len(pairs), np.float64),
-                        where=union > 0,
-                    ),
-                    6,
-                ),
+                "jaccard": _jaccard6(inter, union),
             }
         )
 
@@ -383,13 +388,7 @@ class _BroadcastJaccard:
                 "b": df["b"].to_numpy(),
                 "n_inter": inter,
                 "n_union": union,
-                "jaccard": np.round(
-                    np.divide(
-                        inter, union,
-                        out=np.zeros(n, np.float64), where=union > 0,
-                    ),
-                    6,
-                ),
+                "jaccard": _jaccard6(inter, union),
             }
         )
 

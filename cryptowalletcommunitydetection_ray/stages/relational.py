@@ -409,36 +409,46 @@ def asof_join(
 
     # both sides emit ONE superset schema (left cols + right value cols +
     # kind) so the union is schema-aligned; absent cells get dtype-matched
-    # fills computed once from the real schemas (numeric → default,
-    # timestamp → epoch, other → "")
-    def _fill_value(t) -> object:
+    # fills — (value, numpy dtype) pairs — computed once from the real
+    # schemas (int → default, float → float(default), timestamp → epoch,
+    # other → ""), so a float right value column gets float64 fill arrays
+    # (an int64 fill would make the two union branches carry mismatched
+    # Arrow schemas and break block concat / silently change dtype)
+    def _fill_spec(t) -> tuple[object, object]:
         import pyarrow as pa_
 
         if isinstance(t, pa_.DataType):
             if pa_.types.is_timestamp(t):
-                return np.datetime64(0, "us")
-            if pa_.types.is_integer(t) or pa_.types.is_floating(t):
-                return default
-            return ""
+                return np.datetime64(0, "us"), "datetime64[us]"
+            if pa_.types.is_integer(t):
+                return int(default), np.int64
+            if pa_.types.is_floating(t):
+                return float(default), np.float64
+            if pa_.types.is_boolean(t):
+                return False, np.bool_
+            return "", object
         t = np.dtype(t)
         if np.issubdtype(t, np.datetime64):
-            return np.datetime64(0, "us")
-        if np.issubdtype(t, np.number):
-            return default
-        return ""
+            return np.datetime64(0, "us"), "datetime64[us]"
+        if np.issubdtype(t, np.floating):
+            return float(default), np.float64
+        if np.issubdtype(t, np.integer):
+            return int(default), np.int64
+        if np.issubdtype(t, np.bool_):
+            return False, np.bool_
+        return "", object
 
     def _schema_types(ds: rd.Dataset) -> dict:
         sch = ds.schema()
         return dict(zip(sch.names, sch.types))
 
-    lfills = {c: _fill_value(t) for c, t in _schema_types(left).items()}
+    lfills = {c: _fill_spec(t) for c, t in _schema_types(left).items()}
     rtypes = _schema_types(right)
-    rfills = {c: _fill_value(rtypes[c]) for c in value_cols}
+    rfills = {c: _fill_spec(rtypes[c]) for c in value_cols}
 
-    def _full(n: int, v):
-        if isinstance(v, str):
-            return np.full(n, v, dtype=object)
-        return np.full(n, v)
+    def _full(n: int, spec):
+        v, dt = spec
+        return np.full(n, v, dtype=dt)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[left_cols].copy()
@@ -473,15 +483,23 @@ def asof_join(
         if not len(lf):
             return pd.DataFrame({c: [] for c in out_cols})
         rt = g[is_r].sort_values([ts_col, *rv_cols], kind="stable")
+        out = {c: lf[c].to_numpy() for c in left_cols}
+        if not len(rt):
+            # by-key with left rows but ZERO right rows: every left row is
+            # unmatched — emit dtype-correct defaults (np.where's eager
+            # vals[clip(pos,0,None)] would index position 0 of an empty
+            # array and crash)
+            for c in value_cols:
+                out[f"asof_{c}"] = _full(len(lf), rfills[c])
+            return pd.DataFrame(out)
         lts = lf[ts_col].to_numpy()
         rts = rt[ts_col].to_numpy()
         side = "left" if strict else "right"
         pos = np.searchsorted(rts, lts, side=side) - 1
-        out = {c: lf[c].to_numpy() for c in left_cols}
         for c, rc in zip(value_cols, rv_cols):
             vals = rt[rc].to_numpy()
             picked = np.where(
-                pos >= 0, vals[np.clip(pos, 0, None)], default
+                pos >= 0, vals[np.clip(pos, 0, None)], rfills[c][0]
             )
             out[f"asof_{c}"] = np.asarray(picked)
         return pd.DataFrame(out)
@@ -514,6 +532,41 @@ def range_join_count(
 
     int_cols = list(intervals.schema().names)
 
+    # dtype-matched fills for the point rows' padded interval columns (an
+    # int64 zero for a float/string/timestamp interval column would make
+    # the union branches carry mismatched Arrow schemas)
+    def _pad_spec(t) -> tuple[object, object]:
+        import pyarrow as pa_
+
+        if isinstance(t, pa_.DataType):
+            if pa_.types.is_timestamp(t):
+                return np.datetime64(0, "us"), "datetime64[us]"
+            if pa_.types.is_floating(t):
+                return 0.0, np.float64
+            if pa_.types.is_integer(t):
+                return 0, np.int64
+            if pa_.types.is_boolean(t):
+                return False, np.bool_
+            return "", object
+        try:
+            t = np.dtype(t)
+        except TypeError:
+            return "", object
+        if np.issubdtype(t, np.datetime64):
+            return np.datetime64(0, "us"), "datetime64[us]"
+        if np.issubdtype(t, np.floating):
+            return 0.0, np.float64
+        if np.issubdtype(t, np.integer):
+            return 0, np.int64
+        if np.issubdtype(t, np.bool_):
+            return False, np.bool_
+        return "", object
+
+    _isch = intervals.schema()
+    _pads = {
+        c: _pad_spec(t) for c, t in zip(_isch.names, _isch.types)
+    }
+
     def tag_int(df: pd.DataFrame) -> pd.DataFrame:
         out = df[int_cols].copy()
         out["__pt"] = np.full(len(df), -1, dtype=np.int64)
@@ -526,7 +579,8 @@ def range_join_count(
             if c == by:
                 out[c] = df[c].to_numpy()
             else:
-                out[c] = np.zeros(len(df), dtype=np.int64)
+                v, dt = _pads[c]
+                out[c] = np.full(len(df), v, dtype=dt)
         out["__pt"] = df[ts_col].to_numpy().astype(np.int64)
         out["__kind"] = np.int8(1)
         return out

@@ -66,7 +66,14 @@ def stratified_sample(
         rate_arr = np.array(
             [float(rates.get(k, default_rate)) for k in keys]
         )
-        keep = h < (np.clip(rate_arr, 0.0, 1.0) * _FULL).astype(np.uint64)
+        # full-rate strata short-circuit (mirrors _keep_mask's guard):
+        # (1.0 * 2**64) does not fit uint64, so the float→uint cast is
+        # undefined (yields 0 on x86-64) and would silently DROP the
+        # whole stratum instead of keeping it
+        thresh = np.minimum(
+            np.clip(rate_arr, 0.0, 1.0) * _FULL, _FULL - 2**11
+        ).astype(np.uint64)
+        keep = (rate_arr >= 1.0) | (h < thresh)
         return df[keep]
 
     return ds.map_batches(f, batch_format="pandas")

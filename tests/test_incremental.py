@@ -168,3 +168,36 @@ def test_catchup_feeds_each_row_exactly_once(ray_session, tmp_path):
     s = df["ts"].astype("int64").to_numpy() // 1_000_000_000
     in_complete = s < m["cursor"]
     assert sum(seen) == int(in_complete.sum())
+
+
+def test_int64_ts_column(ray_session, tmp_path):
+    """Regression (round-3 advice): an events file whose ts column is
+    int64 epoch-microseconds (not timestamp) must window correctly — the
+    pushed-down read filter builds its scalars with the file's real type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cryptowalletcommunitydetection_ray.pipelines.incremental import (
+        run_incremental,
+    )
+
+    day = 86400
+    rows = pa.table(
+        {
+            "ts": pa.array(
+                [1 * 10**6, (day + 5) * 10**6, (2 * day + 1) * 10**6],
+                pa.int64(),
+            ),
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    src = tmp_path / "events_int.parquet"
+    pq.write_table(rows, str(src))
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    m = run_incremental(str(src), out, state, window_s=day)
+    assert m["windows_processed"] == 2  # days 0 and 1 complete
+    import ray.data as rd
+
+    got = rd.read_parquet(out).to_pandas()
+    assert sorted(got["n_events"].tolist()) == [1, 1]

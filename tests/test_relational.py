@@ -304,3 +304,85 @@ def test_range_join_count_overlapping(ray_session):
     # iid0 [0,10]: pts 5,10 -> 2; iid1 [5,15]: 5,10,12 -> 3 (overlap!);
     # iid2 [20,30]: 25 -> 1; iid3 k=2: 50 -> 1
     assert out["n_points"].tolist() == [2, 3, 1, 1]
+
+
+def test_asof_join_empty_right_key_and_float_value(ray_session):
+    """Regression (round-3 advice): (a) a by-key with left rows but ZERO
+    right rows must emit defaults, not IndexError into an empty array;
+    (b) a float64 right value column must keep float64 through the tagged
+    union (dtype-matched fills, not int64)."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.relational import asof_join
+
+    left = pd.DataFrame(
+        {"oid": [1, 2, 3], "k": [1, 1, 9], "ts": [10, 20, 10]}
+    )
+    # key 9 has left rows but no right rows at all
+    right = pd.DataFrame(
+        {"k": [1, 1], "ts": [5, 15], "val": [1.5, 2.5]}
+    )
+    out = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            by="k",
+            ts_col="ts",
+            value_cols=["val"],
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    assert out["asof_val"].tolist() == [1.5, 2.5, -1.0]
+    assert out["asof_val"].dtype == np.float64
+
+    # string left extra column survives the union fills too
+    left2 = left.assign(tag=["a", "b", "c"])
+    out2 = (
+        asof_join(
+            rd.from_pandas(left2),
+            rd.from_pandas(right),
+            by="k",
+            ts_col="ts",
+            value_cols=["val"],
+        )
+        .to_pandas()
+        .sort_values("oid")
+        .reset_index(drop=True)
+    )
+    assert out2["tag"].tolist() == ["a", "b", "c"]
+
+
+def test_range_join_count_float_interval_cols(ray_session):
+    """Regression (round-3 advice): float / string interval columns must
+    survive the tagged union (dtype-matched pads, not int64 zeros)."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.relational import (
+        range_join_count,
+    )
+
+    iv = pd.DataFrame(
+        {
+            "k": [1, 2],
+            "iid": [0, 1],
+            "w": [0.25, 0.75],
+            "name": ["x", "y"],
+            "lo": [0, 0],
+            "hi": [10, 10],
+        }
+    )
+    pts = pd.DataFrame({"k": [1, 1, 2], "sec": [5, 11, 3]})
+    out = (
+        range_join_count(
+            rd.from_pandas(iv), rd.from_pandas(pts),
+            by="k", lo_col="lo", hi_col="hi", ts_col="sec",
+        )
+        .to_pandas()
+        .sort_values("iid")
+        .reset_index(drop=True)
+    )
+    assert out["n_points"].tolist() == [1, 1]
+    assert out["w"].tolist() == [0.25, 0.75]
+    assert out["name"].tolist() == ["x", "y"]

@@ -113,3 +113,25 @@ def test_pack_sequences(ray_session):
         num_partitions=1,
     ).to_pandas().sort_values("doc_id")
     assert got["seq_id"].nunique() == 2
+
+
+def test_stratified_sample_full_rate_stratum(ray_session):
+    """Regression (round-3 advice): a stratum at rate 1.0 (or >1) must keep
+    EVERY row — (1.0 * 2**64) is an out-of-range float->uint64 cast that
+    silently produced an all-False mask before the short-circuit guard."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sampling import (
+        stratified_sample,
+    )
+
+    df = _docs()
+    ds = rd.from_pandas(df)
+    out = stratified_sample(
+        ds, "source", "doc_id", {"web": 1.0, "code": 2.0, "wiki": 0.5}
+    ).to_pandas()
+    n_by = df.groupby("source").size()
+    got = out.groupby("source").size()
+    assert got["web"] == n_by["web"]  # rate 1.0 keeps all
+    assert got["code"] == n_by["code"]  # rate > 1 clamps to all
+    assert 0 < got["wiki"] < n_by["wiki"]
