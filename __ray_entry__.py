@@ -251,12 +251,25 @@ def _q_count_window_events(sf_dir):
 
 
 def _q_user_event_tags(sf_dir):
+    """K1 merged surface: the Arrow-native ``list<string>`` set-union
+    (SURVEY §1.2 vertex shape), exploded to scalar rows that carry BOTH
+    representations — the tag element AND the ","-joined string — so one
+    driver row pins the list path and the string-join semantics together
+    (``pc.binary_join`` on the ListArray, zero Python per-row work)."""
+    import pyarrow.compute as pc
+
     from cryptowalletcommunitydetection_ray.stages.relational import (
-        set_union_groupby,
+        explode_list,
+        set_union_groupby_list,
     )
 
     ev = _t(sf_dir, "events", ["user_id", "event_type"])
-    return set_union_groupby(ev, "user_id", "event_type", out_col="tags")
+    tags = set_union_groupby_list(ev, "user_id", "event_type")
+    joined = tags.map_batches(
+        lambda t: t.append_column("tags_str", pc.binary_join(t["tags"], ",")),
+        batch_format="pyarrow",
+    )
+    return explode_list(joined, "tags", out_col="tag")
 
 
 def _q_hourly_windows(sf_dir):
@@ -379,20 +392,6 @@ def _q_events_dedup_first(sf_dir):
     )
 
 
-def _q_user_event_tags_list(sf_dir):
-    """Arrow-native K1: the set-union builds a real ``list<string>`` column
-    (SURVEY §1.2 vertex shape); the driver surface explodes it to scalar
-    rows so the value-hash is representation-stable."""
-    from cryptowalletcommunitydetection_ray.stages.relational import (
-        explode_list,
-        set_union_groupby_list,
-    )
-
-    ev = _t(sf_dir, "events", ["user_id", "event_type"])
-    tags = set_union_groupby_list(ev, "user_id", "event_type")
-    return explode_list(tags, "tags", out_col="tag")
-
-
 def _q_sessionize_users(sf_dir):
     from cryptowalletcommunitydetection_ray.stages.relational import sessionize
 
@@ -441,16 +440,6 @@ def _q_last_event_per_user(sf_dir):
             }
         ),
         batch_format="pandas",
-    )
-
-
-def _q_doc_token_stats(sf_dir):
-    from cryptowalletcommunitydetection_ray.stages.text import token_counts
-
-    docs = _t(sf_dir, "documents", ["doc_id", "text", "n_chars"])
-    counts = token_counts(docs)
-    return counts.map_batches(
-        lambda df: df[["doc_id", "n_ws_tokens"]], batch_format="pandas"
     )
 
 
@@ -656,10 +645,31 @@ def _q_props_extract(sf_dir):
 
 
 def _q_pagerank_pages(sf_dir):
+    """Flagship-corpus PageRank, SQL-checkable: converged (tol=1e-15 → the
+    float fixed point) and emitted as the N-scaled e4 fixed point, so the
+    DuckDB unrolled-power-iteration oracle over the exported edge artifacts
+    reproduces it hash-exactly (the extraction itself is pinned
+    byte-identical by tests/test_extract.py; the oracle independently
+    recomputes the ALGORITHM on the same edges)."""
+    from cryptowalletcommunitydetection_ray.pipelines.edges import read_meta
     from cryptowalletcommunitydetection_ray.pipelines.pagerank import pagerank
 
-    ranks, _ = pagerank(_pages_graph(sf_dir), tol=1e-12)
-    return ranks
+    g = _pages_graph(sf_dir)
+    n_total = read_meta(g)["num_vertices"]
+    ranks, _ = pagerank(g, tol=1e-15, max_iter=400)
+    scale = float(n_total) * 1e4
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vid": df["vid"].to_numpy(),
+                "rank_n_e4": np.floor(
+                    df["rank"].to_numpy() * scale + 0.5
+                ).astype(np.int64),
+            }
+        )
+
+    return ranks.map_batches(fix, batch_format="pandas")
 
 
 def _q_cc_pages(sf_dir):
@@ -765,11 +775,30 @@ def _q_minhash_dedup(sf_dir):
     )
 
 
+def _export_dir(sf_dir: str, name: str) -> str:
+    """Fresh (cleared) parquet export dir for oracle-checkable engine
+    intermediates; the oracle SQL reads the sf0.01 path back."""
+    import shutil
+
+    d = f"{_CACHE}/oracle_exports/{name}_{_sf_tag(sf_dir)}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
 def _q_simhash_pairs(sf_dir):
+    """SQL-checkable: 4 bands × 16 bits ⇒ hamming ≤ 3 always shares a band
+    (pigeonhole), and strict_caps pins zero truncation — so the banded
+    output EQUALS all-pairs ``bit_count(xor(sig_a, sig_b)) <= 3`` over the
+    exported deterministic signature table, which is what the oracle runs."""
     from cryptowalletcommunitydetection_ray.stages.dedup import simhash_dedup_pairs
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    return simhash_dedup_pairs(docs, max_hamming=3)
+    return simhash_dedup_pairs(
+        docs,
+        max_hamming=3,
+        strict_caps=True,
+        export_signatures=_export_dir(sf_dir, "simhash_sigs"),
+    )
 
 
 def _q_doc_langid(sf_dir):
@@ -850,12 +879,23 @@ def _q_multimodal_features(sf_dir):
 
 
 def _q_lsh_neardup_cosine(sf_dir):
+    """SQL-checkable: the bucket ASSIGNMENT is exported (deterministic
+    hyperplane signs, seed 42) and strict_caps pins zero truncation, so
+    the verify stage is exactly "bucket equijoin + exact cosine ≥ t" —
+    which the oracle recomputes from the embeddings table itself."""
     from cryptowalletcommunitydetection_ray.stages.ann import (
         lsh_neardup_pairs_cosine,
     )
 
     emb = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return lsh_neardup_pairs_cosine(emb, threshold=0.4, dim=64, n_bits=8)
+    return lsh_neardup_pairs_cosine(
+        emb,
+        threshold=0.4,
+        dim=64,
+        n_bits=8,
+        strict_caps=True,
+        export_buckets=_export_dir(sf_dir, "lsh_buckets"),
+    )
 
 
 
@@ -881,13 +921,53 @@ def _host_graph(sf_dir: str) -> str:
 
 def _q_host_communities_pages(sf_dir):
     """The reference's wallet-community semantics over web hosts: CC of the
-    page→host bipartite graph, user = page, deposit = host."""
+    page→host bipartite graph, user = page, deposit = host.  Deliberately
+    routed through the LARGE-LARGE ``Dataset.join`` path
+    (``community_members``, labels ⋈ vertices) rather than the pool fast
+    path — so both community-collection paths are driver-verified
+    (``communities_pages`` covers the pool path; path equality is also
+    pinned by tests/test_communities.py)."""
     from cryptowalletcommunitydetection_ray.pipelines.communities import (
-        detect_communities,
+        community_members,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
     )
 
-    comms, _ = detect_communities(_host_graph(sf_dir), chain="web")
+    g = _host_graph(sf_dir)
+    labels, _ = connected_components(g)
+    comms = community_members(g, labels, chain="web")
     return comms.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "_id": df["_id"].to_numpy(),
+                "num_user": df["num_user"].to_numpy(),
+                "num_depo": df["num_depo"].to_numpy(),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def _q_top_communities(sf_dir):
+    """G6 (``databases/mongodb.py:259-275``): member-count filter + sort
+    desc + limit k over the star-graph communities — via the SCALABLE
+    ``community_sizes`` summary (two-phase counts; the giant component
+    costs O(P), not O(members)).  Tie-break pinned to (num_user desc,
+    _id asc) so the top-k cut is deterministic and SQL-reproducible."""
+    from cryptowalletcommunitydetection_ray.pipelines.communities import (
+        community_sizes,
+        top_communities,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
+    )
+
+    g = _star_graph(sf_dir)
+    connected_components(g)  # populate the pool's cc state
+    sizes = community_sizes(g, chain="web")
+    top = top_communities(sizes, min_user=10, min_depo=1, k=3)
+    return top.map_batches(
         lambda df: pd.DataFrame(
             {
                 "_id": df["_id"].to_numpy(),
@@ -971,7 +1051,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_orders": _q_minmax_orders,
         "count_window_events": _q_count_window_events,
         "user_event_tags": _q_user_event_tags,
-        "user_event_tags_list": _q_user_event_tags_list,
         "hourly_windows": _q_hourly_windows,
         "top_spenders": _q_top_spenders,
         "brand_revenue": _q_brand_revenue,
@@ -990,7 +1069,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_daily": _q_incremental_daily,
         "props_extract": _q_props_extract,
         # text / dedup over documents
-        "doc_token_stats": _q_doc_token_stats,
         "doc_quality": _q_doc_quality,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "minhash_dedup": _q_minhash_dedup,
@@ -1015,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_pages": _q_triangles_pages,
         "labelprop_pages": _q_labelprop_pages,
         "host_communities_pages": _q_host_communities_pages,
+        "top_communities": _q_top_communities,
         "degree_census": _q_degree_census,
         # sketches (deterministic estimates)
         "approx_distinct_users": _q_approx_distinct_users,
@@ -1122,10 +1201,259 @@ _PAGERANK_STAR_SQL = """
 """
 
 
+# --------------------------------------------------------------------------
+# pages-kernel oracles: the correctness gate runs at sf0.01, where the
+# pages queries build their graph artifacts at this fixed /tmp path; the
+# oracle SQL reads the SAME partitioned parquet edge/vertex artifacts and
+# recomputes each ALGORITHM independently in DuckDB (extraction itself is
+# pinned byte-identical by tests/test_extract.py).  Every generator uses
+# MATERIALIZED CTEs: DuckDB 1.0 inlines CTEs by default, and any chain
+# where a CTE is referenced twice per step would blow up exponentially.
+# --------------------------------------------------------------------------
+
+_PAGES_G_ORACLE = f"{_CACHE}/pages_3000_P8"  # sf0.01 (n=3000, SP=8)
+_HOST_G_ORACLE = _PAGES_G_ORACLE + "_hosts"
+
+
+def _cc_label_ctes(graph: str, rounds: int) -> str:
+    """FastSV-style min-label CC as unrolled CTEs: each round is neighbor-
+    min (one hop) + shortcut (label ← label-of-label, halving label-tree
+    depth), so ``rounds`` ≥ 2·log₂(n) provably reaches the fixpoint — 40
+    rounds covers n up to 2^20 components; pinned equal to union-find in
+    tests/test_pages_oracles.py.  Emits ``l{rounds}(vid, label)``."""
+    parts = [
+        f"""
+WITH und AS MATERIALIZED (
+    SELECT src AS v, dst AS w
+    FROM read_parquet('{graph}/edges_und/*/data.parquet')
+), va AS MATERIALIZED (
+    SELECT vid, is_user FROM read_parquet('{graph}/vertices/*/data.parquet')
+), l0 AS MATERIALIZED (SELECT vid, vid AS label FROM va)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f""", n{k} AS MATERIALIZED (
+    SELECT e.w AS vid, min(p.label) AS nl
+    FROM und e JOIN l{k} p ON p.vid = e.v GROUP BY e.w
+), s{k} AS MATERIALIZED (
+    SELECT a.vid, least(a.label, COALESCE(n.nl, a.label)) AS label
+    FROM l{k} a LEFT JOIN n{k} n USING (vid)
+), l{k + 1} AS MATERIALIZED (
+    SELECT a.vid, least(a.label, b.label) AS label
+    FROM s{k} a JOIN s{k} b ON b.vid = a.label
+)"""
+        )
+    return "".join(parts)
+
+
+def _pages_cc_sql(graph: str = _PAGES_G_ORACLE, rounds: int = 40) -> str:
+    return (
+        _cc_label_ctes(graph, rounds)
+        + f"\nSELECT vid, label FROM l{rounds}"
+    )
+
+
+def _pages_comm_sql(graph: str, rounds: int = 40) -> str:
+    """CC labels → per-component user/deposit counts, inner-join semantics
+    (components missing either side emit no row) — the reference's
+    wallet-community row shape (``services/wallet_clustering.py:47-58``)."""
+    return (
+        _cc_label_ctes(graph, rounds)
+        + f""", sz AS (
+    SELECT l.label AS _id,
+           CAST(sum(CASE WHEN v.is_user THEN 1 ELSE 0 END) AS BIGINT)
+               AS num_user,
+           CAST(sum(CASE WHEN v.is_user THEN 0 ELSE 1 END) AS BIGINT)
+               AS num_depo
+    FROM l{rounds} l JOIN va v USING (vid) GROUP BY 1)
+SELECT _id, num_user, num_depo FROM sz
+WHERE num_user > 0 AND num_depo > 0"""
+    )
+
+
+def _pages_lpa_sql(graph: str = _PAGES_G_ORACLE, iters: int = 10) -> str:
+    """Unrolled synchronous mode-LPA (max neighbor-label count, tie → min
+    label, no-neighbor keeps) over the und edge artifact — the same pinned
+    rule as ``state/csr.py:ModeLabelState``; self-loops vote for their own
+    vertex exactly as the kernel's und CSR does."""
+    parts = [
+        f"""
+WITH und AS MATERIALIZED (
+    SELECT src AS v, dst AS w
+    FROM read_parquet('{graph}/edges_und/*/data.parquet')
+), verts AS MATERIALIZED (
+    SELECT vid FROM read_parquet('{graph}/vertices/*/data.parquet')
+), l0 AS MATERIALIZED (SELECT vid, vid AS label FROM verts)"""
+    ]
+    for k in range(iters):
+        parts.append(
+            f""", n{k} AS MATERIALIZED (
+    SELECT e.w AS vid, p.label, count(*) AS n
+    FROM und e JOIN l{k} p ON p.vid = e.v GROUP BY e.w, p.label
+), w{k} AS MATERIALIZED (
+    SELECT vid, label FROM n{k}
+    QUALIFY row_number() OVER (PARTITION BY vid ORDER BY n DESC, label) = 1
+), l{k + 1} AS MATERIALIZED (
+    SELECT l.vid, COALESCE(w.label, l.label) AS label
+    FROM l{k} l LEFT JOIN w{k} w USING (vid)
+)"""
+        )
+    parts.append(f"\nSELECT vid, label FROM l{iters}")
+    return "".join(parts)
+
+
+def _pages_pagerank_sql(
+    graph: str = _PAGES_G_ORACLE, iters: int = 160, alpha: float = 0.85
+) -> str:
+    """Unrolled power iteration with dangling-mass redistribution — the
+    exact update of ``state/csr.py:PageRankState``.  160 iterations puts
+    the iterate at the float fixed point (α^160 ≈ 4e-12; the e4-rounded
+    output is bit-stable from ~iteration 140 on, verified empirically),
+    matching the engine's tol=1e-15 converged vector."""
+    parts = [
+        f"""
+WITH e AS MATERIALIZED (
+    SELECT src, dst FROM read_parquet('{graph}/edges/*/data.parquet')
+), verts AS MATERIALIZED (
+    SELECT vid FROM read_parquet('{graph}/vertices/*/data.parquet')
+), k AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS N FROM verts),
+deg AS MATERIALIZED (
+    SELECT src AS vid, CAST(count(*) AS DOUBLE) AS od FROM e GROUP BY src
+), v AS MATERIALIZED (
+    SELECT verts.vid, COALESCE(deg.od, 0.0) AS od
+    FROM verts LEFT JOIN deg USING (vid)
+), r0 AS MATERIALIZED (
+    SELECT vid, od, 1.0 / (SELECT N FROM k) AS rank FROM v
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+    SELECT sum(rank) AS dm FROM r{i} WHERE od = 0
+), m{i} AS MATERIALIZED (
+    SELECT e.dst AS vid, sum(r.rank / r.od) AS inc
+    FROM e JOIN r{i} r ON r.vid = e.src GROUP BY e.dst
+), r{i + 1} AS MATERIALIZED (
+    SELECT p.vid, p.od,
+           (1 - {alpha}) / k.N + {alpha} * d{i}.dm / k.N
+           + {alpha} * COALESCE(m.inc, 0.0) AS rank
+    FROM r{i} p LEFT JOIN m{i} m USING (vid) CROSS JOIN k CROSS JOIN d{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vid, CAST(floor(rank * (SELECT N FROM k) * 10000 + 0.5) AS BIGINT)
+           AS rank_n_e4
+FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+def _pages_tri_sql(graph: str = _PAGES_G_ORACLE) -> str:
+    """Per-vertex triangle counts over the und artifact (self-loops
+    excluded, as in ``state/triangles.py``), zero-filled for all vertices."""
+    return f"""
+WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT src AS x, dst AS y
+    FROM read_parquet('{graph}/edges_und/*/data.parquet') WHERE src < dst
+), und AS MATERIALIZED (
+    SELECT x AS v, y AS w FROM pairs UNION ALL SELECT y, x FROM pairs
+), tri AS MATERIALIZED (
+    SELECT n1.v AS vid, CAST(count(*) / 2 AS BIGINT) AS t
+    FROM und n1
+    JOIN und n2 ON n1.v = n2.v AND n1.w <> n2.w
+    JOIN pairs p ON p.x = least(n1.w, n2.w) AND p.y = greatest(n1.w, n2.w)
+    GROUP BY n1.v
+), verts AS (SELECT vid FROM read_parquet('{graph}/vertices/*/data.parquet'))
+SELECT v.vid, COALESCE(t.t, 0) AS triangles
+FROM verts v LEFT JOIN tri t USING (vid)
+"""
+
+
+_BPE_RE_SQL = (
+    "''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def _bpe_counts_sql() -> str:
+    """Token-count oracle incl. the REAL merge-loop BPE: the pinned merge
+    rule ("each merge = one left-to-right non-overlapping replace pass
+    over the space-delimited symbol string, in rank order") is exactly a
+    chain of SQL ``replace()`` calls, so DuckDB recomputes the tokenizer
+    itself — no fixture, no circularity."""
+    from cryptowalletcommunitydetection_ray.functions.textstats import (
+        BPE_MERGES,
+    )
+
+    sym = r"regexp_replace(ltrim(tok, ' '), '(.)', ' \1', 'g') || ' '"
+    for a, b in BPE_MERGES:
+        sym = f"replace({sym}, ' {a} {b} ', ' {a}{b} ')"
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM documents,
+                 unnest(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS t(tok)
+            WHERE NOT regexp_matches(t.tok, '^\s+$')
+        ), bpe AS (
+            SELECT doc_id,
+                   sum(len(string_split(trim({sym}), ' '))) AS n_real
+            FROM toks GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               len(list_filter(string_split_regex(d.text, '\s+'),
+                               x -> x <> '')) AS n_ws_tokens,
+               len(list_filter(
+                   regexp_extract_all(d.text, '{_BPE_RE_SQL}'),
+                   x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe_tokens,
+               CAST(COALESCE(b.n_real, 0) AS BIGINT) AS n_bpe_real
+        FROM documents d LEFT JOIN bpe b USING (doc_id)
+    """
+
+
+_SIMHASH_SQL = f"""
+    WITH s AS (
+        SELECT doc_id, simhash
+        FROM read_parquet('{_CACHE}/oracle_exports/simhash_sigs_sf0_01/*.parquet')
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_LSH_COSINE_SQL = f"""
+    WITH b AS (
+        SELECT vec_id, bucket
+        FROM read_parquet('{_CACHE}/oracle_exports/lsh_buckets_sf0_01/*.parquet')
+    ), e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+           CAST(floor(list_cosine_similarity(ex.emb, ey.emb) * 1000000 + 0.5)
+                AS BIGINT) AS sim_e6
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    JOIN e ex ON ex.vec_id = x.vec_id
+    JOIN e ey ON ey.vec_id = y.vec_id
+    WHERE list_cosine_similarity(ex.emb, ey.emb) >= 0.4
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_star": _PAGERANK_STAR_SQL,
         "labelprop_star": _lpa_star_sql(10),
+        # flagship pages-corpus kernels: algorithm recomputed by DuckDB
+        # over the engine's partitioned edge/vertex artifacts (sf0.01)
+        "pagerank_pages": _pages_pagerank_sql(),
+        "cc_pages": _pages_cc_sql(),
+        "labelprop_pages": _pages_lpa_sql(),
+        "triangles_pages": _pages_tri_sql(),
+        "communities_pages": _pages_comm_sql(_PAGES_G_ORACLE),
+        "host_communities_pages": _pages_comm_sql(_HOST_G_ORACLE),
+        # sketch stages over exported deterministic intermediates
+        "simhash_pairs": _SIMHASH_SQL,
+        "lsh_neardup_cosine": _LSH_COSINE_SQL,
         "filter_events": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'click' AND value > 100.0
@@ -1152,17 +1480,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-12'
         """,
         "user_event_tags": """
-            SELECT user_id,
-                   array_to_string(list_sort(list(DISTINCT event_type)), ',') AS tags,
-                   count(DISTINCT event_type) AS n_distinct
-            FROM events GROUP BY user_id
-        """,
-        "user_event_tags_list": """
-            WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
-                 n AS (SELECT user_id, count(*) AS n_distinct
-                       FROM d GROUP BY user_id)
-            SELECT d.user_id, d.event_type AS tag, n.n_distinct
-            FROM d JOIN n USING (user_id)
+            WITH t AS (
+                SELECT user_id,
+                       list_sort(list(DISTINCT event_type)) AS tags,
+                       count(DISTINCT event_type) AS n_distinct
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, n_distinct,
+                   array_to_string(tags, ',') AS tags_str,
+                   unnest(tags) AS tag
+            FROM t
         """,
         "hourly_windows": """
             SELECT (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start_s,
@@ -1372,12 +1699,6 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS est_e6
             FROM pick, k
         """,
-        "doc_token_stats": r"""
-            SELECT doc_id,
-                   len(list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '')) AS n_ws_tokens
-            FROM documents
-        """,
         "doc_quality": r"""
             SELECT doc_id, length(text) AS n_chars,
                    CASE WHEN length(text) = 0 THEN 0.0 ELSE
@@ -1437,16 +1758,7 @@ def oracle_sql() -> dict[str, str]:
               AND 2 * len(list_intersect(a.s, b.s)) >=
                   len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))
         """,
-        "bpe_token_counts": r"""
-            SELECT doc_id,
-                   len(list_filter(string_split_regex(text, '\s+'),
-                                   x -> x <> '')) AS n_ws_tokens,
-                   len(list_filter(
-                       regexp_extract_all(text,
-                           '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'),
-                       x -> NOT regexp_matches(x, '^\s+$'))) AS n_bpe_tokens
-            FROM documents
-        """,
+        "bpe_token_counts": _bpe_counts_sql(),
         "doc_langid": r"""
             WITH sw(lang, word, ord) AS (VALUES
                 ('en','the',1),('en','a',1),('en','of',1),('en','and',1),
@@ -1478,6 +1790,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
             FROM documents d
             LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        """,
+        "top_communities": """
+            WITH membership AS (
+                SELECT r_regionkey AS comp, 4 * r_regionkey AS vid,
+                       FALSE AS is_user
+                FROM region
+                UNION ALL
+                SELECT n_regionkey, 4 * n_nationkey + 1, TRUE FROM nation
+                UNION ALL
+                SELECT n_regionkey, 4 * c_custkey + 3, TRUE
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), sz AS (
+                SELECT min(vid) AS _id,
+                       CAST(sum(CASE WHEN is_user THEN 1 ELSE 0 END)
+                            AS BIGINT) AS num_user,
+                       CAST(sum(CASE WHEN is_user THEN 0 ELSE 1 END)
+                            AS BIGINT) AS num_depo
+                FROM membership GROUP BY comp
+            )
+            SELECT _id, num_user, num_depo FROM sz
+            WHERE num_user >= 10 AND num_depo >= 1
+            ORDER BY num_user DESC, _id ASC LIMIT 3
         """,
         "cc_region_star": """
             WITH membership AS (

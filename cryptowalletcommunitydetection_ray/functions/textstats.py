@@ -60,6 +60,45 @@ def bpe_token_count(text: str) -> int:
     return sum(1 for m in BPE_RE.finditer(text) if not m.group().isspace())
 
 
+# Pinned byte-pair merge table (rank order) — a REAL merge-loop tokenizer
+# over it, not a regex proxy.  The merge rule is pinned to "apply each
+# merge in rank order, one left-to-right non-overlapping replace pass over
+# the space-delimited symbol string" — exactly the semantics of chained
+# ``replace()`` calls, so the DuckDB oracle reproduces it verbatim.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "r"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("o", "u"), ("i", "t"), ("i", "s"),
+    ("o", "f"), ("a", "l"), ("e", "d"), ("s", "t"), ("t", "o"),
+    ("in", "g"), ("a", "r"), ("the", "r"), ("l", "e"), ("c", "h"),
+    ("r", "o"), ("u", "r"), ("a", "s"), ("e", "l"), ("l", "l"),
+]
+
+
+def bpe_real_token_count(text: str, cache: dict | None = None) -> int:
+    """Total symbol count after applying ``BPE_MERGES`` to every non-space
+    pre-token (GPT-2 pre-tokenizer regex; the pre-token's leading space
+    marker is dropped before symbolizing so the space char never collides
+    with the symbol delimiter).  ``cache`` memoizes per unique pre-token —
+    per-ACTOR state at scale (natural text repeats words heavily)."""
+    n = 0
+    for m in BPE_RE.finditer(text):
+        tok = m.group()
+        if tok.isspace():
+            continue
+        tok = tok.lstrip(" ")
+        cnt = cache.get(tok) if cache is not None else None
+        if cnt is None:
+            s = " " + " ".join(tok) + " "
+            for a, b in BPE_MERGES:
+                s = s.replace(f" {a} {b} ", f" {a}{b} ")
+            cnt = s.count(" ") - 1
+            if cache is not None:
+                cache[tok] = cnt
+        n += cnt
+    return n
+
+
 def quality_frame(texts: pd.Series) -> pd.DataFrame:
     """Vectorized quality stats for a batch of texts (pandas str kernels)."""
     s = texts.fillna("")

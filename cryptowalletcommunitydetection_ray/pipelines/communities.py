@@ -273,7 +273,9 @@ def top_communities(
     k: int | None = None,
 ) -> rd.Dataset:
     """Filter by member counts and sort desc by num_user (G6 —
-    ``databases/mongodb.py:259-275``)."""
+    ``databases/mongodb.py:259-275``).  Ties on num_user break by _id asc
+    (pinned — the reference's Mongo sort is unstable on ties; a
+    deterministic total order makes the top-k cut reproducible)."""
     import pyarrow.compute as pc
 
     out = communities.map_batches(
@@ -284,5 +286,5 @@ def top_communities(
             )
         ),
         batch_format="pyarrow",
-    ).sort("num_user", descending=True)
+    ).sort(["num_user", "_id"], descending=[True, False])
     return out.limit(k) if k is not None else out

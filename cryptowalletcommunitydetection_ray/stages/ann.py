@@ -354,6 +354,8 @@ def lsh_neardup_pairs_cosine(
     emb_col: str = "embedding",
     concurrency: int = 4,
     max_bucket: int = 512,
+    strict_caps: bool = False,
+    export_buckets: str | None = None,
 ) -> rd.Dataset:
     """LSH-bucketed near-dup: exact cosine only within hyperplane buckets.
 
@@ -363,6 +365,12 @@ def lsh_neardup_pairs_cosine(
     degenerate buckets (same skew guard as the MinHash/SimHash stages): a
     bucket of B near-identical vectors would otherwise cost O(B²) in one
     task; capped buckets keep the smallest ids deterministically.
+    ``strict_caps=True`` makes the cap LOUD: a tiny bucket-size aggregate
+    counts truncations and raises instead of silently dropping pairs.
+    ``export_buckets`` writes the (id, bucket) assignment table to parquet
+    for external verification (the DuckDB oracle reproduces the verify
+    stage as bucket-equijoin + exact cosine over the embeddings table) —
+    the bucket table is one small row per vector.
     """
     bucketed = embeddings.select_columns([id_col, emb_col]).map_batches(
         _HyperplaneBucketer,
@@ -373,6 +381,27 @@ def lsh_neardup_pairs_cosine(
         batch_size=4096,
         concurrency=(1, concurrency),
     )
+    if strict_caps or export_buckets is not None:
+        # materialize so export / cap stats / pairing don't re-run the pool
+        bucketed = bucketed.materialize()
+    if export_buckets is not None:
+        bucketed.select_columns([id_col, "bucket"]).write_parquet(
+            export_buckets
+        )
+    if strict_caps:
+        from .dedup import capped_bucket_stats
+
+        stats = capped_bucket_stats(
+            bucketed.select_columns([id_col, "bucket"]), ["bucket"], max_bucket
+        )
+        if stats["n_dropped_members"]:
+            raise ValueError(
+                f"lsh_neardup_pairs_cosine(strict_caps=True): "
+                f"{stats['n_truncated_buckets']} buckets over "
+                f"max_bucket={max_bucket} would drop "
+                f"{stats['n_dropped_members']} members (pairs lost); "
+                f"raise max_bucket or n_bits"
+            )
 
     def within(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col).head(max_bucket)  # skew guard

@@ -532,6 +532,30 @@ class SimHasher:
         return out
 
 
+def capped_bucket_stats(
+    bucketed: rd.Dataset, bucket_cols: Sequence[str], max_bucket: int
+) -> dict:
+    """Dropped-work accounting for the capped bucket stages ("no silent
+    caps"): returns ``{"n_truncated_buckets", "n_dropped_members"}`` for a
+    (…, bucket) table whose buckets are truncated to ``max_bucket`` rows.
+    One small two-phase count aggregate; the result is a handful of rows,
+    so the driver-side sum is fine at any scale."""
+    from ray.data.aggregate import Count
+
+    sizes = bucketed.groupby(list(bucket_cols)).aggregate(
+        Count(alias_name="n")
+    )
+    big = sizes.map_batches(
+        lambda df: df[df["n"] > max_bucket], batch_format="pandas"
+    ).to_pandas()
+    return {
+        "n_truncated_buckets": int(len(big)),
+        "n_dropped_members": int((big["n"] - max_bucket).sum())
+        if len(big)
+        else 0,
+    }
+
+
 def simhash_dedup_pairs(
     docs: rd.Dataset,
     *,
@@ -540,24 +564,74 @@ def simhash_dedup_pairs(
     id_col: str = "doc_id",
     concurrency: int = 4,
     max_bucket: int = 200,
+    strict_caps: bool = False,
+    export_signatures: str | None = None,
 ) -> rd.Dataset:
     """SimHash near-dup pairs: band-bucket candidates → exact hamming verify.
+
+    With 4 bands over a 64-bit signature, hamming ≤ 3 GUARANTEES at least
+    one intact band (pigeonhole), so when no bucket is truncated the output
+    is exactly the all-pairs hamming-≤3 set — the property the SQL oracle
+    checks (``bit_count(xor(sig_a, sig_b)) <= 3`` over the exported
+    signatures).
 
     ``max_bucket`` caps degenerate band buckets (same guard as the MinHash
     LSH stage): a bucket of B identical-ish docs would otherwise emit O(B²)
     pairs in every band.  Capped buckets keep the ``max_bucket`` smallest
-    ids; their cross pairs to truncated members are dropped (documented
-    skew trade-off — at web scale a degenerate bucket is an exact-dup
-    cluster, handled by exact dedup first)."""
+    ids (deterministic); ``strict_caps=True`` makes truncation LOUD — it
+    counts truncated buckets (one tiny extra aggregate over the signature
+    table) and raises instead of silently dropping pairs (at web scale a
+    degenerate bucket is an exact-dup cluster, handled by exact dedup
+    first, so the strict mode is cheap insurance, not a hot path).
+
+    ``export_signatures`` writes the (id, simhash) table to a parquet dir
+    for external verification (the DuckDB oracle) — the signature table is
+    one small row per doc and already materialized.
+
+    Banding shuffles ONCE: signatures explode to (band_key, id, simhash)
+    rows — band_key = band·2¹⁶ + 16-bit band value — and a single groupby
+    builds every band's pairs (4 separate band groupbys would pay the
+    fixed per-shuffle cost 4×)."""
     hashed = docs.select_columns([id_col, text_col]).map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
         batch_format="pandas",
         batch_size=2048,
         concurrency=(1, concurrency),
-    ).materialize()  # tiny (one row per doc); branching below must not
-    # re-run the actor pool 4x (four fixed pools can exceed the cluster's
-    # CPUs and stall scheduling)
+    ).materialize()  # tiny (one row per doc); the fan-outs below (export,
+    # cap stats, banding) must not re-run the actor pool
+
+    if export_signatures is not None:
+        hashed.select_columns([id_col, "simhash"]).write_parquet(
+            export_signatures
+        )
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        keys = [
+            df[f"band{b}"].to_numpy().astype(np.int64) + (b << 16)
+            for b in range(4)
+        ]
+        return pd.DataFrame(
+            {
+                "band_key": np.concatenate(keys),
+                id_col: np.tile(df[id_col].to_numpy(), 4),
+                "simhash": np.tile(df["simhash"].to_numpy(), 4),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pandas")
+
+    if strict_caps:
+        stats = capped_bucket_stats(exploded, ["band_key"], max_bucket)
+        if stats["n_dropped_members"]:
+            raise ValueError(
+                f"simhash_dedup_pairs(strict_caps=True): "
+                f"{stats['n_truncated_buckets']} band buckets over "
+                f"max_bucket={max_bucket} would drop "
+                f"{stats['n_dropped_members']} members (pairs lost); "
+                f"raise max_bucket or run exact dedup first"
+            )
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # skew guard first (smallest ids win, deterministic), then all-pairs
@@ -584,13 +658,8 @@ def simhash_dedup_pairs(
             {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": ham[keep]}
         )
 
-    out = []
-    for b in range(4):
-        out.append(
-            hashed.select_columns([id_col, "simhash", f"band{b}"])
-            .groupby(f"band{b}")
-            .map_groups(band_pairs, batch_format="pandas")
-        )
-    allpairs = out[0].union(*out[1:])
+    allpairs = exploded.groupby("band_key").map_groups(
+        band_pairs, batch_format="pandas"
+    )
     return exact_dedup(allpairs, ["a", "b"], num_partitions=16)
 

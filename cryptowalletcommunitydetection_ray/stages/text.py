@@ -29,26 +29,54 @@ def quality_stats(
     )
 
 
-def token_counts(
-    docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
-) -> rd.Dataset:
-    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace + BPE-ish regex."""
-    from ..functions.textstats import bpe_token_count
+class TokenCountStage:
+    """Actor-pool token counting: whitespace tokens, GPT-2-regex pre-token
+    count, and the REAL byte-pair-merge tokenizer (``BPE_MERGES`` applied
+    in rank order).  The per-unique-pre-token count cache is actor state
+    built up across batches — the "vocab/model loaded once per actor"
+    shape of a production tokenizer stage."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[text_col].fillna("")
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+        self._bpe_cache: dict[str, int] = {}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textstats import (
+            bpe_real_token_count,
+            bpe_token_count,
+        )
+
+        s = df[self.text_col].fillna("")
         return pd.DataFrame(
             {
-                id_col: df[id_col].to_numpy(),
+                self.id_col: df[self.id_col].to_numpy(),
                 "n_ws_tokens": s.str.count(r"\S+").astype(np.int64),
                 "n_bpe_tokens": np.array(
                     [bpe_token_count(t) for t in s], dtype=np.int64
                 ),
+                "n_bpe_real": np.array(
+                    [bpe_real_token_count(t, self._bpe_cache) for t in s],
+                    dtype=np.int64,
+                ),
             }
         )
 
+
+def token_counts(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int = 4,
+) -> rd.Dataset:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_bpe_real) — whitespace count,
+    BPE-ish regex pre-token count, and real merge-loop BPE symbol count."""
     return docs.select_columns([id_col, text_col]).map_batches(
-        f, batch_format="pandas"
+        TokenCountStage,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pandas",
+        batch_size=2048,
+        concurrency=(1, concurrency),
     )
 
 

@@ -139,3 +139,48 @@ def test_ivf_clustered_recall(ray_session):
         got = set(ivf[ivf["query_id"] == q]["neighbor_id"])
         recall = len(want & got) / len(want)
         assert recall >= 0.9, (q, recall)
+
+
+def test_lsh_strict_caps_and_export(ray_session, tmp_path):
+    """strict_caps raises on a degenerate bucket; export_buckets writes
+    one (vec_id, bucket) row per vector for the SQL oracle."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.ann import (
+        lsh_neardup_pairs_cosine,
+    )
+
+    same = np.ones(16, dtype=np.float32)
+    degen = rd.from_pandas(
+        pd.DataFrame(
+            {"vec_id": range(30), "embedding": [same] * 30}
+        )
+    )
+    with pytest.raises(ValueError, match="strict_caps"):
+        lsh_neardup_pairs_cosine(
+            degen, threshold=0.9, dim=16, n_bits=4, max_bucket=10,
+            strict_caps=True,
+        ).materialize()
+
+    rng = np.random.default_rng(3)
+    ok = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": range(40),
+                "embedding": [
+                    rng.standard_normal(16).astype(np.float32)
+                    for _ in range(40)
+                ],
+            }
+        )
+    )
+    exp = str(tmp_path / "buckets")
+    pairs = lsh_neardup_pairs_cosine(
+        ok, threshold=0.99, dim=16, n_bits=4, strict_caps=True,
+        export_buckets=exp,
+    ).to_pandas()
+    b = pads.dataset(exp).to_table().to_pandas()
+    assert len(b) == 40 and set(b.columns) == {"vec_id", "bucket"}
+    assert sorted(b["vec_id"]) == list(range(40))
+    assert (pairs["sim_e6"] >= 990000).all() if len(pairs) else True

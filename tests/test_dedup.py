@@ -236,3 +236,88 @@ def test_copartitioned_jaccard_hot_doc(ray_session):
         ni = len(np.intersect1d(sa, sb))
         assert r["n_inter"] == ni
         assert r["n_union"] == len(sa) + len(sb) - ni
+
+
+def test_capped_bucket_stats(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        capped_bucket_stats,
+    )
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"id": range(10), "bucket": [1] * 5 + [2] * 3 + [3] * 2})
+    )
+    stats = capped_bucket_stats(ds, ["bucket"], max_bucket=3)
+    assert stats == {"n_truncated_buckets": 1, "n_dropped_members": 2}
+    assert capped_bucket_stats(ds, ["bucket"], max_bucket=5) == {
+        "n_truncated_buckets": 0,
+        "n_dropped_members": 0,
+    }
+
+
+def test_simhash_strict_caps_raises(ray_session):
+    """strict_caps makes the skew guard LOUD: a degenerate bucket that
+    would silently drop pairs raises instead ("no silent caps")."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(80), "text": ["same text here"] * 80})
+    )
+    with pytest.raises(ValueError, match="strict_caps"):
+        simhash_dedup_pairs(
+            docs, max_hamming=3, max_bucket=50, strict_caps=True
+        ).materialize()
+
+
+def test_simhash_pairs_equal_allpairs_hamming(ray_session, tmp_path):
+    """Pigeonhole guarantee the driver oracle relies on: with 4 bands over
+    64 bits and zero truncation, the banded output EQUALS brute-force
+    all-pairs hamming ≤ 3 — and the exported signature table matches the
+    pure-python simhash64 per doc."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        simhash_dedup_pairs,
+    )
+
+    words = [f"tok{i}" for i in range(40)]
+    texts = []
+    for j in range(30):
+        w = list(words)
+        w[j % 40] = f"alt{j}"  # near-dup cluster around the base text
+        texts.append(" ".join(w))
+    texts += [" ".join(f"u{i}_{j}" for i in range(30)) for j in range(20)]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+
+    exp = str(tmp_path / "sigs")
+    pairs = simhash_dedup_pairs(
+        docs, max_hamming=3, strict_caps=True, export_signatures=exp
+    ).to_pandas()
+
+    sigs = pads.dataset(exp).to_table().to_pandas()
+    assert len(sigs) == len(texts)
+    mask = (1 << 64) - 1
+    by_id = {
+        int(i): int(s) & mask
+        for i, s in zip(sigs["doc_id"], sigs["simhash"])
+    }  # the column is the uint64 signature viewed as int64
+    for i, t in enumerate(texts):
+        assert by_id[i] == simhash64(t)
+
+    want = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            h = hamming64(by_id[a], by_id[b])
+            if h <= 3:
+                want.add((a, b, h))
+    got = set(zip(pairs["a"], pairs["b"], pairs["hamming"]))
+    assert want, "fixture must contain true near-dup pairs"
+    assert got == want

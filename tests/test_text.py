@@ -69,3 +69,55 @@ def test_stages_over_dataset(ray_session):
     assert lang["lang_pred"].tolist() == ["en", "de", "und"]
     fp = fingerprints(docs).to_pandas().sort_values("doc_id")
     assert fp["fingerprint"].nunique() == 3
+
+
+def test_bpe_real_token_count():
+    from cryptowalletcommunitydetection_ray.functions.textstats import (
+        BPE_MERGES,
+        bpe_real_token_count,
+    )
+
+    # "the" fully merges (t+h, th+e); "and" likewise (a+n, an+d)
+    assert bpe_real_token_count("the") == 1
+    assert bpe_real_token_count("and") == 1
+    # "thethe": adjacent " th e " occurrences SHARE the boundary space, so
+    # the non-overlapping replace pass merges only the first → the th e
+    # (this boundary behavior is part of the pin; DuckDB replace matches)
+    assert bpe_real_token_count("thethe") == 3
+    # "dog": no merge applies (d+o / o+g not in the table) → 3 symbols
+    assert bpe_real_token_count("dog") == 3
+    # pre-tokens split first: "x1!" → "x" + "1" + "!" → 3 symbols
+    assert bpe_real_token_count("x1!") == 3
+    assert bpe_real_token_count("") == 0
+    assert bpe_real_token_count("   ") == 0
+    # leading-space pre-token equals the bare word (marker is stripped)
+    assert bpe_real_token_count("the the") == 2
+    # cache returns identical counts and actually fills
+    cache: dict = {}
+    a = bpe_real_token_count("the cat and the dog", cache)
+    b = bpe_real_token_count("the cat and the dog", cache)
+    assert a == b and cache["the"] == 1 and len(cache) >= 4
+    assert ("t", "h") == BPE_MERGES[0]  # rank order is part of the pin
+
+
+def test_token_counts_real_bpe_column(ray_session):
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.functions.textstats import (
+        bpe_real_token_count,
+    )
+    from cryptowalletcommunitydetection_ray.stages.text import token_counts
+
+    texts = [
+        "the cat and the dog",
+        "der hund und katze",
+        "x1! thethe and",
+        "",
+    ]
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    t = token_counts(docs).to_pandas().sort_values("doc_id")
+    assert t["n_bpe_real"].tolist() == [
+        bpe_real_token_count(x) for x in texts
+    ]
