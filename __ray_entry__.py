@@ -385,10 +385,10 @@ def _q_events_dedup_first(sf_dir):
     ev = _t(sf_dir, "events", ["event_id", "user_id", "event_type"])
     out = dedup_first(ev, ["user_id", "event_type"], "event_id")
     return out.map_batches(
-        lambda df: df.rename(columns={"event_id": "first_event_id"})[
+        lambda t: t.select(["user_id", "event_type", "event_id"]).rename_columns(
             ["user_id", "event_type", "first_event_id"]
-        ],
-        batch_format="pandas",
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -432,14 +432,10 @@ def _q_last_event_per_user(sf_dir):
     ev = _t(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
     out = last_per_key(ev, "user_id", ["ts", "event_id"], ["value"])
     return out.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "user_id": df["user_id"].to_numpy(),
-                "last_event_id": df["event_id"].to_numpy(),
-                "last_value": df["value"].to_numpy(),
-            }
+        lambda t: t.select(["user_id", "event_id", "value"]).rename_columns(
+            ["user_id", "last_event_id", "last_value"]
         ),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
 
 
@@ -448,10 +444,10 @@ def _q_doc_quality(sf_dir):
 
     out = quality_stats(_t(sf_dir, "documents", ["doc_id", "text"]))
     return out.map_batches(
-        lambda df: df[
+        lambda t: t.select(
             ["doc_id", "n_chars", "punct_ratio", "digit_ratio", "space_ratio"]
-        ],
-        batch_format="pandas",
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -556,6 +552,7 @@ def _q_asof_join_purchase_click(sf_dir):
     """Generic TWO-table as-of join (purchases ⟕asof clicks, inclusive ≤,
     ties → max click event_id) — distinct from asof_last_click, which is
     the strictly-before single-stream variant."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     from cryptowalletcommunitydetection_ray.stages.relational import asof_join
@@ -578,8 +575,13 @@ def _q_asof_join_purchase_click(sf_dir):
         value_cols=["event_id"],
     )
     return out.map_batches(
-        lambda df: df[["event_id", "asof_event_id"]].astype(np.int64),
-        batch_format="pandas",
+        lambda t: pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "asof_event_id": pc.cast(t["asof_event_id"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 
@@ -688,14 +690,8 @@ def _q_communities_pages(sf_dir):
 
     comms, _ = detect_communities(_pages_graph(sf_dir), chain="web")
     return comms.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "_id": df["_id"].to_numpy(),
-                "num_user": df["num_user"].to_numpy(),
-                "num_depo": df["num_depo"].to_numpy(),
-            }
-        ),
-        batch_format="pandas",
+        lambda t: t.select(["_id", "num_user", "num_depo"]),
+        batch_format="pyarrow",
     )
 
 
@@ -771,7 +767,8 @@ def _q_minhash_dedup(sf_dir):
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     out = minhash_dedup_pairs(docs, threshold=0.5)
     return out.map_batches(
-        lambda df: df[["a", "b", "n_inter", "n_union"]], batch_format="pandas"
+        lambda t: t.select(["a", "b", "n_inter", "n_union"]),
+        batch_format="pyarrow",
     )
 
 
@@ -938,14 +935,8 @@ def _q_host_communities_pages(sf_dir):
     labels, _ = connected_components(g)
     comms = community_members(g, labels, chain="web")
     return comms.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "_id": df["_id"].to_numpy(),
-                "num_user": df["num_user"].to_numpy(),
-                "num_depo": df["num_depo"].to_numpy(),
-            }
-        ),
-        batch_format="pandas",
+        lambda t: t.select(["_id", "num_user", "num_depo"]),
+        batch_format="pyarrow",
     )
 
 
@@ -968,14 +959,8 @@ def _q_top_communities(sf_dir):
     sizes = community_sizes(g, chain="web")
     top = top_communities(sizes, min_user=10, min_depo=1, k=3)
     return top.map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "_id": df["_id"].to_numpy(),
-                "num_user": df["num_user"].to_numpy(),
-                "num_depo": df["num_depo"].to_numpy(),
-            }
-        ),
-        batch_format="pandas",
+        lambda t: t.select(["_id", "num_user", "num_depo"]),
+        batch_format="pyarrow",
     )
 
 

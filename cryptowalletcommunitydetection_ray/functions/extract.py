@@ -36,6 +36,8 @@ from __future__ import annotations
 import re
 from urllib.parse import urldefrag, urljoin, urlsplit, urlunsplit
 
+import numpy as np
+
 _SCRIPT_RE = re.compile(rb"<script\b.*?</script\s*>", re.I | re.S)
 _STYLE_RE = re.compile(rb"<style\b.*?</style\s*>", re.I | re.S)
 _TAG_RE = re.compile(rb"<[^>]*>")
@@ -69,6 +71,31 @@ def normalize_url(url: str) -> str:
 def host_of(url: str) -> str:
     """Community grouping key: the lowercased netloc (chain-id analog)."""
     return urlsplit(url).netloc.lower()
+
+
+def hosts_of(urls) -> "pa.Array":
+    """Vectorized ``host_of`` over an Arrow string array: one
+    ``extract_regex`` kernel for the absolute-URL fast path (valid RFC-3986
+    scheme + ``://``), falling back to ``urlsplit`` per row ONLY for the
+    rare shapes the pattern can't see (scheme-relative ``//host/...``,
+    relative refs, bare ids — all of which hash to "" or need urllib's
+    exact semantics).  Byte-equivalence to ``host_of`` is pinned by
+    tests/test_extract.py::test_hosts_of_equivalence."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    ex = pc.extract_regex(urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/?#]*)")
+    fast = pc.utf8_lower(pc.struct_field(ex, "h"))
+    miss = pc.is_null(fast)
+    if pc.any(miss).as_py():
+        idx = np.flatnonzero(miss.to_numpy(zero_copy_only=False))
+        slow = pa.array(
+            [host_of(urls[int(i)].as_py()) for i in idx], type=pa.string()
+        )
+        fast = pc.replace_with_mask(fast, miss, slow)
+    return fast
 
 
 def _normalize_absolute(href: str) -> str:

@@ -35,7 +35,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..context import hash64
-from ..functions.extract import extract_links, host_of, normalize_url
+from ..functions.extract import extract_links, hosts_of, normalize_url
 from ..stages.dedup import exact_dedup
 
 
@@ -79,20 +79,23 @@ def edges_from_pairs(pairs: rd.Dataset, x_col: str, y_col: str) -> rd.Dataset:
     ``read_csv(..., convert_options=pyarrow.csv.ConvertOptions(
     column_types={"x": pa.string(), "y": pa.string()}))``."""
 
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        x = df[x_col].astype(str).to_numpy()
-        y = df[y_col].astype(str).to_numpy()
-        return pd.DataFrame(
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.combine_chunks()
+        x = pc.cast(t[x_col], pa.string())
+        y = pc.cast(t[y_col], pa.string())
+        return pa.table(
             {
-                "src": hash64(x),
-                "dst": hash64(y),
+                "src": pa.array(hash64(x.to_numpy(zero_copy_only=False))),
+                "dst": pa.array(hash64(y.to_numpy(zero_copy_only=False))),
                 "src_url": x,
                 "dst_url": y,
             }
         )
 
     return pairs.select_columns([x_col, y_col]).map_batches(
-        to_edges, batch_format="pandas"
+        to_edges, batch_format="pyarrow"
     )
 
 
@@ -101,20 +104,22 @@ def edges_from_vid_pairs(pairs: rd.Dataset, src_col: str, dst_col: str) -> rd.Da
     themselves (no hashing), so SQL oracles can reproduce labels/counts
     arithmetically.  Urls are the decimal string forms."""
 
-    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[src_col].to_numpy().astype(np.int64)
-        d = df[dst_col].to_numpy().astype(np.int64)
-        return pd.DataFrame(
+    def to_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.cast(t[src_col], pa.int64())
+        d = pc.cast(t[dst_col], pa.int64())
+        return pa.table(
             {
                 "src": s,
                 "dst": d,
-                "src_url": s.astype(str),
-                "dst_url": d.astype(str),
+                "src_url": pc.cast(s, pa.string()),
+                "dst_url": pc.cast(d, pa.string()),
             }
         )
 
     return pairs.select_columns([src_col, dst_col]).map_batches(
-        to_edges, batch_format="pandas"
+        to_edges, batch_format="pyarrow"
     )
 
 
@@ -164,15 +169,41 @@ def build_graph_from_edges(
 
     KIND_EDGE, KIND_UND = 0, 1
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        # local pre-dedup shrinks the shuffle
-        df = df.drop_duplicates(subset=["src", "dst"])
-        s = df["src"].to_numpy()
-        d = df["dst"].to_numpy()
-        su = df["src_url"].to_numpy()
-        du = df["dst_url"].to_numpy()
-        n = len(df)
-        empty = np.full(n, "", dtype=object)
+    def _first_uniq_pairs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        """Indices of the FIRST occurrence of each distinct (x, y) pair, in
+        original order — drop_duplicates semantics over just the two int64
+        key columns (pandas' HASH-based duplicated(), ~5x faster than a
+        sort-based np.unique at this width; the string payload columns
+        never leave Arrow)."""
+        dup = pd.DataFrame({"x": x, "y": y}).duplicated().to_numpy()
+        return np.flatnonzero(~dup)
+
+    def _plain(col) -> pa.Array:
+        """Table column → single plain Array (pa.chunked_array() over
+        ChunkedArrays is pathologically slow — ~1.3 s per 800 k-row string
+        column vs ~0 for plain Arrays, measured)."""
+        if isinstance(col, pa.ChunkedArray):
+            if col.num_chunks == 1:
+                return col.chunk(0)
+            return (
+                pa.concat_arrays(col.chunks)
+                if col.num_chunks
+                else pa.array([], type=col.type)
+            )
+        return col
+
+    def tag(t: pa.Table) -> pa.Table:
+        # local pre-dedup shrinks the shuffle; Arrow-native throughout —
+        # the url strings are take'd/concatenated as Arrow buffers and
+        # never become Python objects (this stage touches every edge 3x)
+        s0 = t["src"].to_numpy(zero_copy_only=False)
+        d0 = t["dst"].to_numpy(zero_copy_only=False)
+        keep = _first_uniq_pairs(s0, d0)
+        t = t.combine_chunks().take(pa.array(keep))
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        su, du = _plain(t["src_url"]), _plain(t["dst_url"])
+        n = len(t)
         # 3 routed rows per edge: the directed edge (with both urls) and the
         # two undirected orientations, each carrying ITS OWN src endpoint's
         # url + side rank — partition p's vertex table is derived from the
@@ -180,75 +211,99 @@ def build_graph_from_edges(
         # partition), so no separate vertex rows travel.
         a = np.concatenate([s, s, d])
         b = np.concatenate([d, d, s])
-        url = np.concatenate([su, su, du])
-        url2 = np.concatenate([du, empty, empty])
+        empty = pa.nulls(n, pa.string()).fill_null("")
+        url = pa.chunked_array([su, su, du])
+        url2 = pa.chunked_array([du, empty, empty])
         kind = np.repeat(np.array([KIND_EDGE, KIND_UND, KIND_UND], np.int8), n)
         # side rank 0 = this endpoint appears as a directed src (is_user)
         rank = np.concatenate(
             [np.zeros(2 * n, np.int8), np.ones(n, np.int8)]
         )
         part = (a.astype(np.uint64) % np.uint64(P)).astype(np.int32)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "part": part,
-                "kind": kind,
-                "a": a,
-                "b": b,
+                "part": pa.array(part),
+                "kind": pa.array(kind),
+                "a": pa.array(a),
+                "b": pa.array(b),
                 "url": url,
                 "url2": url2,
-                "rank": rank,
+                "rank": pa.array(rank),
             }
         )
 
-    def write_part(g: pd.DataFrame) -> pd.DataFrame:
-        p = int(g["part"].iloc[0])
+    def write_part(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        p = int(g["part"][0].as_py())
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
         counts = {}
-        e = g[g["kind"] == KIND_EDGE].drop_duplicates(subset=["a", "b"])
+        e_rows = np.flatnonzero(kind == KIND_EDGE)
+        e_idx = e_rows[_first_uniq_pairs(a[e_rows], b[e_rows])]
+        e = g.take(pa.array(e_idx))
         _atomic_write(
             f"{graph_dir}/edges/part={p}",
             pa.table(
                 {
-                    "src": e["a"].to_numpy(),
-                    "dst": e["b"].to_numpy(),
-                    "src_url": e["url"].to_numpy().astype(str),
-                    "dst_url": e["url2"].to_numpy().astype(str),
+                    "src": e["a"],
+                    "dst": e["b"],
+                    "src_url": e["url"],
+                    "dst_url": e["url2"],
                 }
             ),
         )
         counts["e"] = len(e)
-        u_all = g[g["kind"] == KIND_UND]
-        u = u_all.drop_duplicates(subset=["a", "b"])
+        u_rows = np.flatnonzero(kind == KIND_UND)
+        u_idx = u_rows[_first_uniq_pairs(a[u_rows], b[u_rows])]
+        u = g.take(pa.array(u_idx))
         _atomic_write(
             f"{graph_dir}/edges_und/part={p}",
-            pa.table({"src": u["a"].to_numpy(), "dst": u["b"].to_numpy()}),
+            pa.table({"src": u["a"], "dst": u["b"]}),
         )
         counts["u"] = len(u)
-        v = (
-            u_all.sort_values("rank", kind="stable")
-            .drop_duplicates(subset=["a"], keep="first")
-        )
-        urls = v["url"].to_numpy().astype(str)
+        # vertices: lowest side-rank wins per vid (stable) — rank-stable
+        # argsort + first-occurrence-per-vid, the numpy equivalent of
+        # sort_values("rank", stable).drop_duplicates("a", keep="first")
+        rank_u = g["rank"].to_numpy(zero_copy_only=False)[u_rows]
+        order = np.argsort(rank_u, kind="stable")
+        _, first = np.unique(a[u_rows][order], return_index=True)
+        v_idx = u_rows[order[first]]  # output ordered by vid asc
+        v = g.take(pa.array(v_idx))
+        urls = v["url"].combine_chunks()
+        if isinstance(urls, pa.ChunkedArray):
+            urls = (
+                pa.concat_arrays(urls.chunks)
+                if urls.num_chunks
+                else pa.array([], type=pa.string())
+            )
         _atomic_write(
             f"{graph_dir}/vertices/part={p}",
             pa.table(
                 {
-                    "vid": v["a"].to_numpy(),
+                    "vid": v["a"],
                     "url": urls,
-                    "host": np.array([host_of(x) for x in urls], dtype=object),
-                    "is_user": (v["rank"].to_numpy() == 0),
+                    "host": hosts_of(urls),
+                    "is_user": pa.array(
+                        v["rank"].to_numpy(zero_copy_only=False) == 0
+                    ),
                 }
             ),
         )
         counts["v"] = len(v)
-        return pd.DataFrame(
-            {"part": [p], "n_e": [counts["e"]], "n_u": [counts["u"]],
-             "n_v": [counts["v"]]}
+        return pa.table(
+            {
+                "part": pa.array([p], pa.int64()),
+                "n_e": pa.array([counts["e"]], pa.int64()),
+                "n_u": pa.array([counts["u"]], pa.int64()),
+                "n_v": pa.array([counts["v"]], pa.int64()),
+            }
         )
 
     counts = (
-        raw_edges.map_batches(tag, batch_format="pandas")
+        raw_edges.map_batches(tag, batch_format="pyarrow")
         .groupby("part")
-        .map_groups(write_part, batch_format="pandas")
+        .map_groups(write_part, batch_format="pyarrow")
         .to_pandas()
     )
     meta = {

@@ -44,7 +44,8 @@ def grouped_distinct(ds: rd.Dataset, col: str) -> rd.Dataset:
     from ray.data.aggregate import Count
 
     pre = ds.select_columns([col]).map_batches(
-        lambda df: df.drop_duplicates(subset=[col]), batch_format="pandas"
+        lambda t: pa.table({col: pc.unique(t[col].combine_chunks())}),
+        batch_format="pyarrow",
     )
     agg = pre.groupby(col).aggregate(Count(alias_name="__n"))
     return agg.select_columns([col])

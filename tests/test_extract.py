@@ -162,3 +162,32 @@ def test_embedded_control_chars_match_urllib():
         html = f'<a href="{href}">x</a>'.encode()
         got = extract_links(html, "http://base.example/dir/page")
         assert got == [urllib_route(href)], href
+
+
+def test_hosts_of_equivalence():
+    """Vectorized hosts_of is byte-identical to per-row host_of across
+    every url shape the engine sees (absolute, scheme-relative, relative,
+    bare ids, ports/userinfo, mixed case, empty)."""
+    import pyarrow as pa
+
+    from cryptowalletcommunitydetection_ray.functions.extract import (
+        host_of,
+        hosts_of,
+    )
+
+    urls = [
+        "http://example.com/a",
+        "HTTPS://WWW.Example.COM:8443/x?q=1",
+        "http://user:pw@Host.net/p",
+        "ftp+ssh://mixed.Scheme.io/",
+        "//scheme-relative.com/path",
+        "relative/path/only",
+        "0xdeadbeefcafe",
+        "12345",
+        "",
+        "1http://digit-scheme-is-invalid/a",
+        "http://",
+        "mailto:someone@example.com",
+    ]
+    got = hosts_of(pa.array(urls, type=pa.string())).to_pylist()
+    assert got == [host_of(u) for u in urls]
