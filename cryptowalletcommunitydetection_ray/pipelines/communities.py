@@ -241,28 +241,36 @@ def host_community_edges(graph_dir: str) -> rd.Dataset:
     re-expression of the reference's wallet-community semantics over web
     hosts: "user" = source page url, "deposit" = shared link-target host.
     Feed into ``build_graph_from_edges`` + ``detect_communities``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from ..context import hash64
-    from ..functions.extract import host_of
+    from ..functions.extract import hosts_of
 
     edges = rd.read_parquet(
         f"{graph_dir}/edges", columns=["src_url", "dst_url"]
     )
 
-    def to_host_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        su = df["src_url"].to_numpy()
-        hosts = np.array(
-            ["host://" + host_of(u) for u in df["dst_url"]], dtype=object
+    def to_host_pairs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        su = t["src_url"]
+        hosts = pc.binary_join_element_wise(
+            "host://", hosts_of(t["dst_url"]), ""
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "src": hash64(su),
-                "dst": hash64(hosts),
+                "src": pa.array(
+                    hash64(su.to_numpy(zero_copy_only=False))
+                ),
+                "dst": pa.array(
+                    hash64(hosts.to_numpy(zero_copy_only=False))
+                ),
                 "src_url": su,
                 "dst_url": hosts,
             }
         )
 
-    return edges.map_batches(to_host_pairs, batch_format="pandas")
+    return edges.map_batches(to_host_pairs, batch_format="pyarrow")
 
 
 def top_communities(

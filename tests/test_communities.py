@@ -109,3 +109,37 @@ def test_one_sided_component_dropped(ray_session, tmp_path):
     assert len(sizes) == 1
     sizes_all = community_sizes(d, require_both_sides=False).to_pandas()
     assert len(sizes_all) == 2
+
+
+def test_host_community_edges(graph300):
+    """page→host raw edges: dst is the 'host://'-prefixed lowercased netloc
+    of the link target, vids are hash64 of the url strings (Arrow-native
+    stage; hosts_of equivalence pinned in test_extract)."""
+    from cryptowalletcommunitydetection_ray.context import hash64
+    from cryptowalletcommunitydetection_ray.functions.extract import host_of
+    from cryptowalletcommunitydetection_ray.pipelines.communities import (
+        host_community_edges,
+    )
+
+    import pandas as pd
+
+    he = host_community_edges(graph300).to_pandas()
+    assert len(he) > 0
+    assert he["dst_url"].str.startswith("host://").all()
+    # spot-check one row end-to-end against the scalar path
+    import pyarrow.dataset as pads
+
+    raw = pads.dataset(f"{graph300}/edges", partitioning="hive").to_table(
+        columns=["src_url", "dst_url"]
+    ).to_pandas()
+    want_dst = "host://" + raw["dst_url"].map(host_of)
+    got = he.sort_values(["src_url", "dst_url"]).reset_index(drop=True)
+    want = (
+        pd.DataFrame({"src_url": raw["src_url"], "dst_url": want_dst})
+        .sort_values(["src_url", "dst_url"])
+        .reset_index(drop=True)
+    )
+    assert (got["src_url"] == want["src_url"]).all()
+    assert (got["dst_url"] == want["dst_url"]).all()
+    assert (got["src"].to_numpy() == hash64(got["src_url"].to_numpy())).all()
+    assert (got["dst"].to_numpy() == hash64(got["dst_url"].to_numpy())).all()
