@@ -805,9 +805,17 @@ def _q_doc_langid(sf_dir):
 
 
 def _q_doc_fingerprints(sf_dir):
+    """SQL-checkable: the ordered token-hash vectors are exported
+    (deterministic, pinned by pytest), and the rolling fold
+    ``fp ← (fp·1000003 + h) mod (2^61−1)`` is exact integer arithmetic —
+    the oracle recomputes the FOLD independently via DuckDB
+    ``list_reduce`` over HUGEINT."""
     from cryptowalletcommunitydetection_ray.stages.text import fingerprints
 
-    return fingerprints(_t(sf_dir, "documents", ["doc_id", "text"]))
+    return fingerprints(
+        _t(sf_dir, "documents", ["doc_id", "text"]),
+        export_token_hashes=_export_dir(sf_dir, "fp_hashes"),
+    )
 
 
 def _q_bpe_token_counts(sf_dir):
@@ -843,14 +851,21 @@ def _q_quantiles_event_value(sf_dir):
 def _q_approx_distinct_users(sf_dir):
     """HyperLogLog approximate distinct users per event type — mergeable
     register sketch as a native AggregateFn (deterministic estimate,
-    partition-invariant; accuracy pinned in tests/test_sketches.py —
-    non-SQL by nature, rows-only driver check)."""
+    partition-invariant; accuracy pinned in tests/test_sketches.py).
+    SQL-checkable: the merged register vectors are exported and the
+    PINNED estimator (alpha·m²/Σ2^−reg, linear-counting branch, half-up)
+    is recomputed over them by the DuckDB oracle."""
     from cryptowalletcommunitydetection_ray.stages.sketches import (
         approx_distinct_by,
     )
 
     ev = _t(sf_dir, "events", ["event_type", "user_id"])
-    return approx_distinct_by(ev, "event_type", "user_id")
+    return approx_distinct_by(
+        ev,
+        "event_type",
+        "user_id",
+        export_registers=_export_dir(sf_dir, "hll_regs"),
+    )
 
 
 def _q_multimodal_features(sf_dir):
@@ -1424,6 +1439,54 @@ _LSH_COSINE_SQL = f"""
 """
 
 
+def _fp_fold_sql() -> str:
+    """Rolling-fingerprint oracle: folds the exported token-hash vectors
+    with exact HUGEINT arithmetic — ``(acc·BASE + h) mod (2^61−1)`` — so
+    DuckDB recomputes the fold itself (hashes are int64 views of uint64;
+    negatives un-wrap by +2^64)."""
+    from cryptowalletcommunitydetection_ray.functions.textstats import (
+        FP_BASE,
+        FP_MOD,
+    )
+
+    return f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(
+                   CAST(0 AS HUGEINT),
+                   list_transform(hashes,
+                       x -> CAST(x AS HUGEINT)
+                            + CASE WHEN x < 0
+                                   THEN CAST('18446744073709551616' AS HUGEINT)
+                                   ELSE 0 END)),
+               (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+           ) AS BIGINT) AS fingerprint
+    FROM read_parquet('{_CACHE}/oracle_exports/fp_hashes_sf0_01/*.parquet')
+"""
+
+
+_HLL_SQL = f"""
+    WITH reg AS (
+        SELECT event_type, unnest(regs) AS r
+        FROM read_parquet('{_CACHE}/oracle_exports/hll_regs_sf0_01/*.parquet')
+    ), agg AS (
+        SELECT event_type, count(*) AS m,
+               sum(pow(2.0, -CAST(r AS DOUBLE))) AS s,
+               sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS z
+        FROM reg GROUP BY event_type
+    ), est AS (
+        SELECT event_type, m, z,
+               (0.7213 / (1 + 1.079 / m)) * m * m / s AS e
+        FROM agg
+    )
+    SELECT event_type,
+           CAST(floor(CASE WHEN e <= 2.5 * m AND z > 0
+                           THEN m * ln(m / z) ELSE e END + 0.5) AS BIGINT)
+               AS approx_nd
+    FROM est
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pagerank_star": _PAGERANK_STAR_SQL,
@@ -1439,6 +1502,8 @@ def oracle_sql() -> dict[str, str]:
         # sketch stages over exported deterministic intermediates
         "simhash_pairs": _SIMHASH_SQL,
         "lsh_neardup_cosine": _LSH_COSINE_SQL,
+        "doc_fingerprints": _fp_fold_sql(),
+        "approx_distinct_users": _HLL_SQL,
         "filter_events": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'click' AND value > 100.0

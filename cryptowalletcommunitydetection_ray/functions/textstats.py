@@ -122,14 +122,23 @@ def quality_frame(texts: pd.Series) -> pd.DataFrame:
 
 def fingerprint(text: str) -> int:
     """Deterministic document fingerprint: rolling hash of token hashes."""
+    return fingerprint_with_hashes(text)[0]
+
+
+def fingerprint_with_hashes(text: str) -> tuple[int, np.ndarray]:
+    """(fingerprint, ordered token-hash vector).  The hash vector is the
+    exportable intermediate: the rolling fold ``fp ← (fp·BASE + h) mod
+    (2^61−1)`` over it is pure integer arithmetic a SQL oracle reproduces
+    exactly (DuckDB ``list_reduce`` over HUGEINT), independently pinning
+    the FOLD while hash64 itself is pinned by pytest."""
     toks = WS_TOKEN_RE.findall(text)
     if not toks:
-        return 0
+        return 0, np.empty(0, dtype=np.int64)
     hs = hash64(np.array(toks, dtype=object)).astype(np.uint64)
-    fp = np.uint64(0)
+    fp = 0
     for h in hs:
-        fp = np.uint64((int(fp) * FP_BASE + int(h)) % FP_MOD)
-    return int(fp)
+        fp = (fp * FP_BASE + int(h)) % FP_MOD
+    return fp, hs.view(np.int64)
 
 
 def langid(text: str) -> str:

@@ -87,6 +87,18 @@ def run_supersteps(
     def read_or(m):
         return ck.read_manifest(checkpoint_dir) or m
 
+    def _rewind() -> int:
+        """_setup with backoff: a freshly-restarted shard can be
+        transiently UNAVAILABLE while its ``__init__`` reloads partition
+        artifacts — without the retry that second error would escape the
+        superstep loop's failure handler."""
+        for attempt in range(6):
+            try:
+                return _setup(checkpoint_dir is not None)
+            except ray.exceptions.RayActorError:
+                time.sleep(0.5 * (attempt + 1))
+        return _setup(checkpoint_dir is not None)
+
     start_iter = _setup(resume)
     t_setup = time.time() - t0
 
@@ -146,7 +158,7 @@ def run_supersteps(
             if restarts > max_restart_attempts:
                 raise
             history.append({"iteration": iteration, "restart": restarts})
-            iteration = _setup(checkpoint_dir is not None)
+            iteration = _rewind()
             done = False
     t_loop = time.time() - t0
 

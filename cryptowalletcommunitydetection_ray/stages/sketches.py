@@ -80,8 +80,37 @@ def hll_distinct(col: str, *, p: int = 12, alias_name: str | None = None):
         init=lambda k: np.zeros(m, dtype=np.int8),
         accumulate_block=accumulate_block,
         merge=np.maximum,
-        finalize=lambda regs: int(round(hll_estimate(regs))),
+        # half-UP rounding — the repo-wide cross-engine fixed-point rule
+        finalize=lambda regs: int(np.floor(hll_estimate(regs) + 0.5)),
         name=alias_name or f"approx_distinct({col})",
+    )
+
+
+def hll_registers(col: str, *, p: int = 12, alias_name: str | None = None):
+    """AggregateFn variant that finalizes to the raw REGISTER VECTOR (a
+    ``list<int64>`` of 2^p values) instead of the estimate — the
+    deterministic, mergeable intermediate an external oracle can fold the
+    estimator over independently (the export pattern shared with the
+    SimHash signature table)."""
+    m = 1 << p
+
+    def accumulate_block(regs: np.ndarray, block) -> np.ndarray:
+        import pyarrow as pa
+
+        if isinstance(block, pa.Table):
+            vals = block[col].to_numpy(zero_copy_only=False)
+        else:
+            vals = np.asarray(block[col])
+        if len(vals) == 0:
+            return regs
+        return np.maximum(regs, _registers(vals, p))
+
+    return AggregateFn(
+        init=lambda k: np.zeros(m, dtype=np.int8),
+        accumulate_block=accumulate_block,
+        merge=np.maximum,
+        finalize=lambda regs: regs.astype(np.int64).tolist(),
+        name=alias_name or f"hll_registers({col})",
     )
 
 
@@ -95,12 +124,35 @@ def approx_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> int:
 def approx_distinct_by(
     ds: rd.Dataset, key: str, col: str, *, p: int = 12,
     alias_name: str = "approx_nd",
+    export_registers: str | None = None,
 ) -> rd.Dataset:
     """Per-key approximate distinct count — groupby merges register
-    vectors, so a hot key costs O(blocks·2^p), never O(rows)."""
-    return ds.groupby(key).aggregate(
-        hll_distinct(col, p=p, alias_name=alias_name)
-    )
+    vectors, so a hot key costs O(blocks·2^p), never O(rows).
+
+    ``export_registers`` writes the per-key (key, regs ``list<int64>``)
+    table to parquet and derives the estimate FROM it, so an external
+    oracle can recompute the pinned estimator (alpha·m²/Σ2^−reg with the
+    linear-counting small-range branch, half-up rounded) over the exported
+    registers — turning the sketch from rows-only into hash-checkable."""
+    if export_registers is None:
+        return ds.groupby(key).aggregate(
+            hll_distinct(col, p=p, alias_name=alias_name)
+        )
+    regs = ds.groupby(key).aggregate(
+        hll_registers(col, p=p, alias_name="regs")
+    ).materialize()
+    regs.write_parquet(export_registers)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        est = [
+            int(np.floor(hll_estimate(np.asarray(r, dtype=np.int64)) + 0.5))
+            for r in df["regs"]
+        ]
+        return pd.DataFrame(
+            {key: df[key].to_numpy(), alias_name: np.array(est, np.int64)}
+        )
+
+    return regs.map_batches(finish, batch_format="pandas")
 
 
 def histogram_quantiles(

@@ -146,22 +146,45 @@ def language_id(
 
 
 def fingerprints(
-    docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    export_token_hashes: str | None = None,
 ) -> rd.Dataset:
-    """(doc_id, fingerprint) — rolling-hash document fingerprint."""
-    from ..functions.textstats import fingerprint
+    """(doc_id, fingerprint) — rolling-hash document fingerprint.
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    ``export_token_hashes`` additionally writes (doc_id, hashes
+    ``list<int64>``) to parquet — the deterministic intermediate an
+    external oracle folds independently (``fp ← (fp·BASE + h) mod 2^61−1``
+    is exact HUGEINT arithmetic in DuckDB), the same export pattern as the
+    SimHash signature table."""
+    import pyarrow as pa
+
+    from ..functions.textstats import fingerprint_with_hashes
+
+    def f(df: pd.DataFrame) -> pa.Table:
+        pairs = [fingerprint_with_hashes(t) for t in df[text_col].fillna("")]
+        return pa.table(
             {
-                id_col: df[id_col].to_numpy(),
-                "fingerprint": np.array(
-                    [fingerprint(t) for t in df[text_col].fillna("")],
-                    dtype=np.uint64,
-                ).view(np.int64),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "fingerprint": pa.array(
+                    np.array([p[0] for p in pairs], dtype=np.uint64).view(
+                        np.int64
+                    )
+                ),
+                "hashes": pa.array(
+                    [p[1] for p in pairs], type=pa.list_(pa.int64())
+                ),
             }
         )
 
-    return docs.select_columns([id_col, text_col]).map_batches(
+    out = docs.select_columns([id_col, text_col]).map_batches(
         f, batch_format="pandas"
     )
+    if export_token_hashes is not None:
+        out = out.materialize()
+        out.select_columns([id_col, "hashes"]).write_parquet(
+            export_token_hashes
+        )
+    return out.select_columns([id_col, "fingerprint"])

@@ -3,6 +3,13 @@ entry at a given sf and compare row-count + schema + sorted values against
 oracle_sql() via DuckDB.  Usage:
 
     python scripts/check_oracle.py [sf_dir] [query ...]
+
+NOTE: the pages-kernel and exported-intermediate oracles (pagerank/cc/
+labelprop/triangles/communities/host_communities _pages, simhash_pairs,
+lsh_neardup_cosine, doc_fingerprints, approx_distinct_users) read fixed
+sf0.01 artifact/export paths — the scale the driver's gate runs at.  At
+any other sf those rows fail by construction; run this script at
+/root/testdata/sf0.01 for the full-green result.
 """
 
 from __future__ import annotations

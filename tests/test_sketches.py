@@ -58,10 +58,69 @@ def test_approx_distinct_by_matches_per_group(ray_session):
         .set_index("k")["approx_nd"]
     )
     for k, g in df.groupby("k"):
-        want = int(round(hll_estimate(_registers(g["v"].to_numpy(), 12))))
+        # half-UP rounding: the repo-wide cross-engine fixed-point rule
+        want = int(np.floor(hll_estimate(_registers(g["v"].to_numpy(), 12)) + 0.5))
         assert got[k] == want  # engine == single-pass oracle, exactly
         true = g["v"].nunique()
         assert abs(got[k] - true) / true < 0.06
+
+
+def test_approx_distinct_registers_export(ray_session, tmp_path):
+    """The export_registers path: (a) estimate identical to the direct
+    AggregateFn path, (b) the exported register table reproduces the
+    estimate when the PINNED estimator is folded over it externally
+    (DuckDB — exactly what the driver oracle runs)."""
+    import duckdb
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.sketches import (
+        approx_distinct_by,
+    )
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 20_000),
+            "v": rng.integers(0, 2_000, 20_000),
+        }
+    )
+    ds = rd.from_pandas(df)
+    direct = (
+        approx_distinct_by(ds, "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = str(tmp_path / "regs")
+    via_regs = (
+        approx_distinct_by(ds, "k", "v", export_registers=exp)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (direct["approx_nd"] == via_regs["approx_nd"]).all()
+
+    sql = f"""
+        WITH reg AS (
+            SELECT k, unnest(regs) AS r
+            FROM read_parquet('{exp}/*.parquet')
+        ), agg AS (
+            SELECT k, count(*) AS m,
+                   sum(pow(2.0, -CAST(r AS DOUBLE))) AS s,
+                   sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS z
+            FROM reg GROUP BY k
+        ), est AS (
+            SELECT k, m, z, (0.7213 / (1 + 1.079 / m)) * m * m / s AS e
+            FROM agg
+        )
+        SELECT k,
+               CAST(floor(CASE WHEN e <= 2.5 * m AND z > 0
+                               THEN m * ln(m / z) ELSE e END + 0.5)
+                    AS BIGINT) AS approx_nd
+        FROM est ORDER BY k
+    """
+    ora = duckdb.sql(sql).df()
+    assert (ora["approx_nd"].to_numpy() == direct["approx_nd"].to_numpy()).all()
 
 
 def test_histogram_quantiles(ray_session):

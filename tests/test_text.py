@@ -121,3 +121,51 @@ def test_token_counts_real_bpe_column(ray_session):
     assert t["n_bpe_real"].tolist() == [
         bpe_real_token_count(x) for x in texts
     ]
+
+
+def test_fingerprint_export_and_sql_fold(ray_session, tmp_path):
+    """export_token_hashes writes the ordered hash vectors; DuckDB's
+    HUGEINT list_reduce fold over them reproduces the engine fingerprints
+    exactly — the driver-oracle mechanism, pinned here end-to-end."""
+    import duckdb
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.functions.textstats import (
+        FP_BASE,
+        FP_MOD,
+    )
+    from cryptowalletcommunitydetection_ray.stages.text import fingerprints
+
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["the cat sat", "the cat sat on", "", "one"],
+            }
+        )
+    )
+    exp = str(tmp_path / "hashes")
+    fp = (
+        fingerprints(docs, export_token_hashes=exp)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    sql = f"""
+        SELECT doc_id,
+               CAST(list_reduce(
+                   list_prepend(
+                       CAST(0 AS HUGEINT),
+                       list_transform(hashes,
+                           x -> CAST(x AS HUGEINT)
+                                + CASE WHEN x < 0
+                                       THEN CAST('18446744073709551616'
+                                                 AS HUGEINT)
+                                       ELSE 0 END)),
+                   (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+               ) AS BIGINT) AS fingerprint
+        FROM read_parquet('{exp}/*.parquet') ORDER BY doc_id
+    """
+    ora = duckdb.sql(sql).df()
+    assert (ora["fingerprint"].to_numpy() == fp["fingerprint"].to_numpy()).all()
+    assert fp["fingerprint"].iloc[2] == 0  # empty doc pins to 0
