@@ -6,11 +6,14 @@ one callable per implemented operator/pipeline from SURVEY.md §2 over the
 driver-generated parquet tables in ``sf_dir``; ``oracle_sql()`` gives the
 DuckDB-equivalent SQL for every SQL-expressible query — including the
 iterative kernels via the star graph (closed-form PageRank, unrolled
-LPA) and MinHash near-dup via exact all-pairs shingle Jaccard.  Only the
-hashed-vid pages kernels, SimHash/LSH-cosine sketches, rolling-hash
-fingerprints and the multimodal stages remain rows-only; their
-correctness gates live in ``tests/`` against networkx / pure-python
-oracles.
+LPA) and MinHash near-dup via exact all-pairs shingle Jaccard.  The
+pages-corpus kernels and the sketch stages are checked over exported
+deterministic intermediates (edge artifacts, SimHash signatures, LSH
+buckets, HLL registers, token-hash vectors); the multimodal query is
+checked via octet-length arithmetic the oracle derives from the raw
+documents table.  Every query is hash-compared — the fake-decode float
+feature values alone stay pytest-pinned (they stand in for absent codec
+libs and are excluded from the compared columns).
 
 Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init`` / ``ray.shutdown``.
@@ -869,25 +872,54 @@ def _q_approx_distinct_users(sf_dir):
 
 
 def _q_multimodal_features(sf_dir):
+    """Hash-checkable multimodal plumbing.  The attach rule (payload =
+    (utf8(text)·4)[:4096]) and the frame-sample slicing are pinned, so the
+    oracle recomputes ``n_bytes``, the feature-vector support size and the
+    total sampled-frame bytes INDEPENDENTLY from the raw documents table
+    (octet_length arithmetic) — no export needed.  The float feature
+    VALUES are the deterministic fake decode (a stub standing in for the
+    absent codec libs) and stay pytest-pinned (tests/test_multimodal.py);
+    they are computed here (the actor-pool decode stage runs) but not
+    hash-compared."""
     from cryptowalletcommunitydetection_ray.stages.multimodal import (
         attach_fake_payloads,
         extract_features,
+        frame_sample,
     )
+    from ray.data.aggregate import Sum
 
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
-    feats = extract_features(attach_fake_payloads(docs))
-    return feats.map_batches(
+    payloads = attach_fake_payloads(docs)
+    feats = extract_features(payloads).map_batches(
         lambda df: pd.DataFrame(
             {
                 "id": df["id"].to_numpy(),
                 "n_bytes": df["n_bytes"].to_numpy(),
-                "feat_mean": np.round(
-                    [float(np.mean(f)) for f in df["features"]], 6
+                "feat_nonzero": np.array(
+                    [int((np.asarray(f) != 0).sum()) for f in df["features"]],
+                    dtype=np.int64,
                 ),
             }
         ),
         batch_format="pandas",
     )
+    frame_bytes = (
+        frame_sample(payloads)
+        .map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "id": df["id"].to_numpy(),
+                    "fb": np.array(
+                        [len(p or b"") for p in df["frame"]], dtype=np.int64
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+        .groupby("id")
+        .aggregate(Sum("fb", alias_name="frame_bytes"))
+    )
+    return feats.join(frame_bytes, "inner", 8, on=("id",))
 
 
 def _q_lsh_neardup_cosine(sf_dir):
@@ -1503,6 +1535,25 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_SQL,
         "lsh_neardup_cosine": _LSH_COSINE_SQL,
         "doc_fingerprints": _fp_fold_sql(),
+        # multimodal plumbing: the attach rule payload=(utf8(text)·4)[:4096]
+        # and the frame slicing (4 frames of step=max(1, nb//4) bytes) are
+        # pinned, so n_bytes / support size / sampled-frame bytes are pure
+        # octet-length arithmetic over the RAW documents table — fully
+        # independent of the engine.  Feature float values are excluded
+        # (fake decode, pytest-pinned).
+        "multimodal_features": """
+            WITH nb AS (
+                SELECT doc_id AS id,
+                       least(4 * octet_length(encode(text)), 4096) AS n_bytes
+                FROM documents
+            )
+            SELECT id, n_bytes,
+                   CASE WHEN n_bytes > 0 THEN 16 ELSE 0 END AS feat_nonzero,
+                   CASE WHEN n_bytes >= 4
+                        THEN 4 * (n_bytes // 4)
+                        ELSE n_bytes END AS frame_bytes
+            FROM nb
+        """,
         "approx_distinct_users": _HLL_SQL,
         "filter_events": """
             SELECT event_id, user_id, value FROM events

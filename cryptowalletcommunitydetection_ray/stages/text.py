@@ -188,3 +188,160 @@ def fingerprints(
             export_token_hashes
         )
     return out.select_columns([id_col, "fingerprint"])
+
+
+def token_topk(
+    docs: rd.Dataset, *, k: int = 20, text_col: str = "text"
+) -> rd.Dataset:
+    """Exact corpus-wide top-k frequent tokens: (token, n), n desc, token
+    asc (pinned tie-break).
+
+    The canonical pre-aggregation pattern spelled out: each batch emits
+    PARTIAL (token, n) counts (``np.unique`` over the batch's concatenated
+    token stream), so the shuffle moves one row per distinct token per
+    block instead of one per occurrence — at web scale the reduction is
+    ~1000× (Zipf).  The groupby-Sum then merges partials, and the final
+    sort+limit runs over distinct tokens only (≪ corpus)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    from ..functions.textstats import WS_TOKEN_RE
+
+    def partial_counts(df: pd.DataFrame) -> pa.Table:
+        toks: list[str] = []
+        for t in df[text_col]:
+            if t:
+                toks.extend(WS_TOKEN_RE.findall(t))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n_part": pa.array([], pa.int64())}
+            )
+        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {"token": pa.array(u.tolist(), pa.string()),
+             "n_part": pa.array(c, pa.int64())}
+        )
+
+    counts = (
+        docs.select_columns([text_col])
+        .map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def inverted_index(
+    docs: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> rd.Dataset:
+    """Posting lists: (token, df, postings ``list<int64>`` sorted asc).
+
+    One shuffle keyed by token; each batch pre-drops duplicate
+    occurrences (DISTINCT (token, doc) pairs), so within-doc repetition
+    never hits the wire.  Partitioning note for 100 TB: stopword-class
+    tokens produce giant postings — route through ``min_df``/stoplists or
+    cap postings per token before using this as a serving index; as a
+    contamination/dedup auxiliary the full lists are the point."""
+    import pyarrow as pa
+
+    from ..functions.textstats import WS_TOKEN_RE
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        toks: list[str] = []
+        ids: list[int] = []
+        for i, t in zip(df[id_col], df[text_col]):
+            if not t:
+                continue
+            uniq = set(WS_TOKEN_RE.findall(t))
+            toks.extend(uniq)
+            ids.extend([int(i)] * len(uniq))
+        return pa.table(
+            {"token": pa.array(toks, pa.string()),
+             id_col: pa.array(ids, pa.int64())}
+        )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        posting = np.unique(g[id_col].to_numpy())
+        if len(posting) < min_df:
+            return pd.DataFrame(
+                {
+                    "token": pd.Series([], dtype=object),
+                    "df": pd.Series([], dtype=np.int64),
+                    "postings": pd.Series([], dtype=object),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "token": [g["token"].iloc[0]],
+                "df": np.array([len(posting)], dtype=np.int64),
+                "postings": [posting.astype(np.int64)],
+            }
+        )
+
+    return (
+        docs.select_columns([id_col, text_col])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("token")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+
+def contamination_screen(
+    docs: rd.Dataset,
+    bench: rd.Dataset,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Benchmark-contamination screen: (doc_id, n_hits) where n_hits =
+    number of DISTINCT word ``n``-grams of the doc that appear anywhere in
+    the benchmark set.
+
+    The benchmark side is SMALL by construction (eval suites are MBs) —
+    its distinct n-gram set is collected once on the driver and broadcast
+    via ``ray.put``; every corpus task reads the same object-store copy,
+    so the corpus side streams with zero shuffle.  Grams are matched as
+    strings (exact, SQL-reproducible); a 100 TB deployment would hash
+    them to uint64 and use sorted-array ``searchsorted`` membership
+    (collision odds ~q²/2⁶⁵) — the broadcast/stream shape is identical."""
+    import ray
+
+    from ..functions.textstats import WS_TOKEN_RE
+
+    def grams_of(text: str) -> set[str]:
+        toks = WS_TOKEN_RE.findall(text) if text else []
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bench_grams: set[str] = set()
+    for b in bench.select_columns([text_col]).iter_batches(
+        batch_format="pandas", batch_size=1024
+    ):
+        for t in b[text_col]:
+            bench_grams |= grams_of(t)
+    ref = ray.put(bench_grams)
+
+    class Screen:
+        def __init__(self):
+            self.grams: set[str] = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            hits = np.array(
+                [len(grams_of(t) & self.grams) for t in df[text_col]],
+                dtype=np.int64,
+            )
+            return pd.DataFrame(
+                {id_col: df[id_col].to_numpy(), "n_hits": hits}
+            )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        Screen, batch_format="pandas", concurrency=(1, 8)
+    )

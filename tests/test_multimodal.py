@@ -77,3 +77,33 @@ def test_resize_stub(ray_session):
     a = out.sort_values("id")["payload"].tolist()
     b = out2.sort_values("id")["payload"].tolist()
     assert a == b
+
+
+def test_frame_byte_accounting_matches_octet_rule(ray_session):
+    """The driver-oracle arithmetic: total sampled-frame bytes equals
+    nb when nb < 4 else 4·(nb//4) — pinned across payload sizes that hit
+    every branch (empty, sub-step, exact multiple, with remainder)."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.multimodal import (
+        frame_sample,
+    )
+
+    sizes = [0, 1, 2, 3, 4, 5, 7, 8, 9, 100, 4096]
+    payloads = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "id": list(range(len(sizes))),
+                "payload": [b"x" * n for n in sizes],
+            }
+        )
+    )
+    frames = frame_sample(payloads, n_frames=4).to_pandas()
+    got = (
+        frames.assign(fb=[len(p or b"") for p in frames["frame"]])
+        .groupby("id")["fb"]
+        .sum()
+    )
+    for i, nb in enumerate(sizes):
+        want = nb if nb < 4 else 4 * (nb // 4)
+        assert got[i] == want, (nb, got[i], want)

@@ -169,3 +169,143 @@ def test_fingerprint_export_and_sql_fold(ray_session, tmp_path):
     ora = duckdb.sql(sql).df()
     assert (ora["fingerprint"].to_numpy() == fp["fingerprint"].to_numpy()).all()
     assert fp["fingerprint"].iloc[2] == 0  # empty doc pins to 0
+
+
+def test_token_topk_matches_duckdb(ray_session):
+    """token_topk == DuckDB count/sort/limit with the pinned tie-break
+    (n desc, token asc) over the sf0.001 documents table."""
+    import duckdb
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.text import token_topk
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        token_topk(rd.read_parquet(src, columns=["text"]), k=25)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (
+            SELECT unnest(regexp_extract_all(text, '\\S+')) AS token
+            FROM read_parquet('{src}')
+        ), c AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+        SELECT token, n FROM c ORDER BY n DESC, token LIMIT 25
+        """
+    ).df()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["n"].tolist() == want["n"].astype(int).tolist()
+
+
+def test_inverted_index_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.text import inverted_index
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        inverted_index(
+            rd.read_parquet(src, columns=["doc_id", "text"]), min_df=3
+        )
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH pairs AS (
+            SELECT DISTINCT t.token, d.doc_id
+            FROM read_parquet('{src}') d,
+                 unnest(regexp_extract_all(d.text, '\\S+')) AS t(token)
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS df,
+               list(doc_id ORDER BY doc_id) AS postings
+        FROM pairs GROUP BY token HAVING count(*) >= 3
+        ORDER BY token
+        """
+    ).df()
+    assert got["token"].tolist() == want["token"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+    assert [list(p) for p in got["postings"]] == [
+        list(p) for p in want["postings"]
+    ]
+
+
+def test_contamination_screen_matches_duckdb(ray_session):
+    """Handcrafted positives + the sf0.001 corpus vs an independent DuckDB
+    n-gram join (list-comprehension 8-gram windows)."""
+    import duckdb
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.text import (
+        contamination_screen,
+    )
+
+    # handcrafted: doc 100 contains bench doc 0's exact 8-gram twice
+    bench_txt = "alpha beta gamma delta epsilon zeta eta theta iota"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 100, 101],
+            "text": [
+                bench_txt,
+                f"x {bench_txt} y {bench_txt}",
+                "nothing shared here at all in this one really",
+            ],
+        }
+    )
+    bench = rd.from_pandas(docs[docs.doc_id < 20])
+    corpus = rd.from_pandas(docs[docs.doc_id >= 20])
+    got = (
+        contamination_screen(corpus, bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # bench doc has 2 distinct 8-grams; doc 100 contains both (its own
+    # window set is larger but intersection counts DISTINCT shared grams)
+    assert got.loc[got.doc_id == 100, "n_hits"].iloc[0] == 2
+    assert got.loc[got.doc_id == 101, "n_hits"].iloc[0] == 0
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    import pyarrow.compute as pc
+
+    b = rd.read_parquet(
+        src, columns=["doc_id", "text"], filter=(pc.field("doc_id") < 20)
+    )
+    c = rd.read_parquet(
+        src, columns=["doc_id", "text"], filter=(pc.field("doc_id") >= 20)
+    )
+    got2 = (
+        contamination_screen(c, b, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+            FROM read_parquet('{src}')
+        ), grams AS (
+            SELECT doc_id,
+                   unnest([array_to_string(t[i+1:i+8], ' ')
+                           for i in range(greatest(len(t) - 7, 0))]) AS g
+            FROM toks
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id < 20
+        ), hits AS (
+            SELECT dg.doc_id, CAST(count(DISTINCT dg.g) AS BIGINT) AS n_hits
+            FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id >= 20) dg
+            JOIN bench USING (g)
+            GROUP BY dg.doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits
+        FROM (SELECT doc_id FROM read_parquet('{src}') WHERE doc_id >= 20) d
+        LEFT JOIN hits h USING (doc_id)
+        ORDER BY d.doc_id
+        """
+    ).df()
+    assert got2["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got2["n_hits"].tolist() == want["n_hits"].astype(int).tolist()
