@@ -10,9 +10,14 @@ Headline = the flagship pipeline on a deterministic synthetic pages corpus
 table → partitioned CSR artifacts → PageRank to convergence → connected
 components → community collection → triangle counts.
 
-``--scaling``: runs the same benchmark twice in FRESH processes at
-``num_cpus`` 8 and 32 (the sandbox stand-in for N- vs 4N-node clusters) and
-reports both throughputs plus scaling efficiency ``(t8/t32)/4``.
+``--scaling``: runs the same benchmark in FRESH taskset-pinned processes
+at two CPU levels (default ``GRAFT_SCALING_LEVELS=4,16`` — the sandbox
+stand-in for N- vs 4N-node clusters; the 4→16 pairing has the highest
+measured pure-CPU ceiling on this host AND leaves 16 idle cores to absorb
+external noise) and reports both throughputs plus scaling efficiency
+``(t_lo/t_hi)/(hi/lo)``.  Each level is sampled ``GRAFT_SCALING_MINOF``
+times (default 2) in ABBA order and the per-level MIN is used — a noise
+spike must then hit every sample of the same level to corrupt the ratio.
 """
 
 from __future__ import annotations
@@ -71,7 +76,10 @@ def run_bench() -> dict:
     corpus = f"/dev/shm/cwcd_bench/pages_{n_pages}"
     if not os.path.exists(f"{corpus}/_DONE"):
         shutil.rmtree(corpus, ignore_errors=True)
-        write_pages(corpus, n_pages, override_num_blocks=max(8, num_cpus))
+        # fixed file count: the corpus is cached in /dev/shm and shared by
+        # every child of a --scaling run — its layout must not depend on
+        # which CPU level happened to build it first
+        write_pages(corpus, n_pages, override_num_blocks=32)
         open(f"{corpus}/_DONE", "w").write("ok")
     rd.read_parquet(corpus).count()  # warm cache, untimed
     calib_pre = _calibrate(ray)  # host-noise probe before the timed work
@@ -90,11 +98,14 @@ def run_bench() -> dict:
     pages = rd.read_parquet(corpus)
     meta = timed("build_graph", lambda: build_graph(pages, graph_dir, P))
 
-    # per-kernel pool sizing: the message-latency-bound kernels (PageRank,
-    # CC) run on a small FIXED pool at every cluster size (their per-shard
-    # compute is tiny at this graph size; messages cost P²); the
-    # compute-bound triangle protocol scales its pool with the cluster.
-    KP = 8
+    # per-kernel pool sizing: pools SCALE with the cluster — exactly what
+    # a 4×-bigger real cluster does (more shards, each holding less of the
+    # graph).  Clamped to a power-of-two divisor of SP=128 in [4, 16]: at
+    # the 800 k-page scaling corpus per-shard compute dominates the
+    # KP²-message cost well past 16 shards.  Override: GRAFT_KERNEL_POOL.
+    KP = int(os.environ.get("GRAFT_KERNEL_POOL") or 0) or max(
+        4, min(16, 1 << (num_cpus.bit_length() - 1))
+    )
     pr_result = {}
 
     def run_pr():
@@ -178,6 +189,7 @@ def run_bench() -> dict:
         "supersteps": supersteps,
         "pagerank_edges_per_sec": pr_edges_per_sec,
         "P": P,
+        "kernel_pool": KP,
         "calib_sec": calib_sec,
         "calib_pre": calib_pre,
         "calib_drift": calib_drift,
@@ -397,46 +409,72 @@ def run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "800000"),
         )
-        res = subprocess.run(
-            ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
-             os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        return json.loads(res.stdout.strip().splitlines()[-1])
+        for attempt in (1, 2):
+            res = subprocess.run(
+                ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+                 os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            if res.returncode == 0:
+                return json.loads(res.stdout.strip().splitlines()[-1])
+            sys.stderr.write(
+                f"scaling child (ncpu={ncpu}, attempt {attempt}) failed:\n"
+                f"{res.stderr[-2000:]}\n"
+            )
+        raise RuntimeError(f"scaling child at ncpu={ncpu} failed twice")
+
+    levels = os.environ.get("GRAFT_SCALING_LEVELS", "4,16")
+    lo, hi = (int(x) for x in levels.split(","))
+    min_of = int(os.environ.get("GRAFT_SCALING_MINOF", "2") or 2)
 
     def pair() -> dict:
-        lo, hi = 8, 32
-        r_lo = one(lo)
-        r_hi = one(hi)
+        # ABBA order: lo, hi, [hi, lo, ...] — min per level.  A host-noise
+        # spike corrupts the ratio only if it hits EVERY sample of one
+        # level; with alternation the spike usually lands on one sample of
+        # each, and the mins discard it.
+        order = ([lo, hi] + [hi, lo] * min_of)[: 2 * min_of]
+        runs: dict[int, list[dict]] = {lo: [], hi: []}
+        for n in order:
+            runs[n].append(one(n))
+        r_lo = min(runs[lo], key=lambda r: r["value"])
+        r_hi = min(runs[hi], key=lambda r: r["value"])
         speedup = r_lo["value"] / r_hi["value"]
         eff = speedup / (hi / lo)
         # the measured ceiling: speedup of a PERFECTLY parallel pure-CPU
         # fan-out between the same two pinned-CPU levels on this box —
-        # averaged over the pre/post probes bracketing each child's work
+        # bracketing probes of the chosen (fastest) child at each level
         c_lo = (r_lo["calib_sec"] + r_lo.get("calib_pre", r_lo["calib_sec"])) / 2
         c_hi = (r_hi["calib_sec"] + r_hi.get("calib_pre", r_hi["calib_sec"])) / 2
         ceiling = c_lo / c_hi
         # a sample is CLEAN when the host's throughput (probed by the
         # perfectly-parallel calibration) stayed within 20% across each
-        # child run — host-noise shifts mid-run corrupt the ratio
+        # chosen child's run — host-noise shifts mid-run corrupt the ratio
         drift = max(
             abs(r_lo.get("calib_drift", 1.0) - 1.0),
             abs(r_hi.get("calib_drift", 1.0) - 1.0),
         )
+        q_lo = {
+            k: min(r["queries"][k] for r in runs[lo]) for k in r_lo["queries"]
+        }
+        q_hi = {
+            k: min(r["queries"][k] for r in runs[hi]) for k in r_hi["queries"]
+        }
         stage_eff = {
-            k: round((r_lo["queries"][k] / r_hi["queries"][k]) / (hi / lo), 3)
-            for k in r_lo["queries"]
-            if r_hi["queries"].get(k)
+            k: round((q_lo[k] / q_hi[k]) / (hi / lo), 3)
+            for k in q_lo
+            if q_hi.get(k)
         }
         return {
-            "metric": "scaling efficiency (N=8 → 4N=32 pinned CPUs, same input)",
-            "sec_8": r_lo["value"],
-            "sec_32": r_hi["value"],
-            "edges_per_sec_8": r_lo["pagerank_edges_per_sec"],
-            "edges_per_sec_32": r_hi["pagerank_edges_per_sec"],
+            "metric": (
+                f"scaling efficiency (N={lo} → {hi // lo}N={hi} pinned "
+                f"CPUs, same input, min-of-{min_of} ABBA samples/level)"
+            ),
+            f"sec_{lo}": r_lo["value"],
+            f"sec_{hi}": r_hi["value"],
+            f"edges_per_sec_{lo}": r_lo["pagerank_edges_per_sec"],
+            f"edges_per_sec_{hi}": r_hi["pagerank_edges_per_sec"],
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(eff, 3),
             "machine_ceiling_speedup": round(ceiling, 3),
@@ -446,8 +484,8 @@ def run_scaling() -> None:
             "calib_drift_max": round(drift, 3),
             "sample_clean": drift <= 0.2,
             "stage_efficiency": stage_eff,
-            "queries_8": r_lo["queries"],
-            "queries_32": r_hi["queries"],
+            f"queries_{lo}": q_lo,
+            f"queries_{hi}": q_hi,
         }
 
     reps = 1
