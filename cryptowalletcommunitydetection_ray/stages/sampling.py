@@ -161,3 +161,67 @@ def pack_sequences(
         .groupby("__part")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def cap_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    k: int,
+    order_cols: list[str],
+    *,
+    salt: str | None = None,
+) -> rd.Dataset:
+    """Keep at most ``k`` rows per key — the per-domain document cap of a
+    webtext curation pipeline (no single host may dominate the corpus).
+
+    Deterministic selection: the first ``k`` rows by ``order_cols``
+    ascending (ties must be broken by the caller including a unique
+    column last).  Pass ``salt`` to order by a consistent hash instead —
+    ``hash64(salt ⊕ order_cols[0])`` is appended as the primary sort key,
+    giving a uniform "random but reproducible" cap (same property as
+    ``consistent_sample``: partition- and rerun-invariant).
+
+    TWO-PHASE, one shuffle: each batch pre-trims to its local first-k per
+    key (a block contributes ≤ k rows per key it contains), then a single
+    key-shuffle merges the partials.  A hot key (a domain with 10^8 docs)
+    therefore arrives at its reduce group with ≤ k·num_blocks rows, not
+    10^8 — the skew defense.  Reference parity: the reference caps
+    crawler output per pair via its 50-page cap
+    (``services/crawlers/base_crawler.py:19-27``); this is the corpus-
+    side generalization.
+    """
+    sort_cols = list(order_cols)
+    hash_col = "__cap_h"
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[hash_col] = hash64(
+            np.array(
+                [f"{salt}\x1f{v}" for v in df[order_cols[0]]], dtype=object
+            )
+        )
+        return out
+
+    if salt is not None:
+        sort_cols = [hash_col, *order_cols]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if salt is not None:
+            df = add_hash(df)
+        return (
+            df.sort_values([key_col, *sort_cols], kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(sort_cols, kind="mergesort").head(k)
+        if salt is not None:
+            g = g.drop(columns=[hash_col])
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(key_col)
+        .map_groups(final, batch_format="pandas")
+    )
