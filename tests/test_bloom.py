@@ -153,3 +153,41 @@ def test_cap_per_key_hash_order_invariant(ray_session):
         rd.from_pandas(df), "domain", 4, ["doc_id"]
     ).to_pandas()
     assert sorted(picks[0]) != sorted(by_id["doc_id"].tolist())
+
+
+def test_bloom_distributed_build_bit_identical(ray_session):
+    import ray
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.bloom import (
+        bloom_screen,
+        build_bloom,
+        build_bloom_distributed,
+    )
+
+    keys = pd.DataFrame({"key": [f"page-{i}" for i in range(4000)]})
+    kw = dict(m_bits=1 << 15, k_hashes=5, salt="s3")
+    ref_driver = build_bloom(rd.from_pandas(keys), "key", **kw)
+    ref_dist = build_bloom_distributed(
+        rd.from_pandas(keys).repartition(7), "key", **kw
+    )
+    a, b = ray.get(ref_driver), ray.get(ref_dist)
+    assert np.array_equal(a["bits"], b["bits"])  # OR fold is order-free
+    assert (a["m_bits"], a["k_hashes"], a["salt"]) == (
+        b["m_bits"], b["k_hashes"], b["salt"],
+    )
+
+    # and the distributed filter drives the probe stage identically
+    probe = pd.DataFrame(
+        {"key": [f"page-{i}" for i in range(2000, 6000)]}
+    )
+    fa = (
+        bloom_screen(rd.from_pandas(probe), ref_driver, "key")
+        .to_pandas().sort_values("key")["maybe_seen"].to_numpy()
+    )
+    fb = (
+        bloom_screen(rd.from_pandas(probe), ref_dist, "key")
+        .to_pandas().sort_values("key")["maybe_seen"].to_numpy()
+    )
+    assert np.array_equal(fa, fb)
+    assert fa[: 2000].all()  # truly-seen suffix of the probe range
