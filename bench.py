@@ -494,9 +494,13 @@ def run_scaling() -> None:
     if reps == 1:
         print(json.dumps(pair()))
         return
-    rows = [pair() for _ in range(reps)]
-    for r in rows:
+    # print each rep AS IT COMPLETES — a killed batch keeps its finished
+    # reps (reps are ~7 min each; losing N-1 done reps to a kill hurts)
+    rows = []
+    for _ in range(reps):
+        r = pair()
         print(json.dumps(r), flush=True)
+        rows.append(r)
 
     def med_iqr(vals):
         import statistics
