@@ -10,6 +10,8 @@
     python run.py triangles  --graph /tmp/g [--out DIR]
     python run.py dedup      --docs DOCS.parquet [--threshold T] [--out DIR]
                              [--groups-graph /tmp/dupg]
+    python run.py screen     --docs DOCS.parquet [--cap-per-domain K]
+                             [--seen SEEN.parquet [--seen-key COL]] [--out DIR]
 
 Owns its Ray session (scripts and CLIs only — library code never calls
 ``ray.init``).
@@ -56,6 +58,22 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="write pairs parquet here")
     p.add_argument("--groups-graph", default=None,
                    help="scratch dir: also compute dup groups via the CC kernel")
+
+    p = sub.add_parser(
+        "screen",
+        help="corpus curation screen: per-domain cap + Bloom drop-vs-seen",
+    )
+    p.add_argument("--docs", required=True, help="parquet with doc_id, source, text")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--domain-col", default="source")
+    p.add_argument("--cap-per-domain", type=int, default=0,
+                   help="keep at most K docs per domain (salted-hash order)")
+    p.add_argument("--seen", default=None,
+                   help="parquet of already-seen keys: drop matching docs "
+                        "(Bloom broadcast — no false negatives)")
+    p.add_argument("--seen-key", default=None,
+                   help="key column in --seen (default: --key-col)")
+    p.add_argument("--out", default=None, help="write survivors parquet here")
 
     args = ap.parse_args(argv)
 
@@ -154,6 +172,37 @@ def main(argv=None):
             groups = dup_groups_distributed(pairs, args.groups_graph)
             metrics["num_grouped_docs"] = groups.count()
             result_ds = pairs
+
+    elif args.cmd == "screen":
+        import ray.data as rd
+
+        from cryptowalletcommunitydetection_ray.stages.bloom import (
+            bloom_screen,
+            build_bloom_distributed,
+        )
+        from cryptowalletcommunitydetection_ray.stages.sampling import (
+            cap_per_key,
+        )
+
+        docs = rd.read_parquet(args.docs)
+        n_in = docs.count()
+        metrics = {"algorithm": "screen", "rows_in": n_in}
+        if args.seen:
+            seen_key = args.seen_key or args.key_col
+            bloom = build_bloom_distributed(
+                rd.read_parquet(args.seen, columns=[seen_key]), seen_key
+            )
+            # the filter hashes VALUES (salted), so --seen-key may name a
+            # differently-named column holding the same key domain
+            docs = bloom_screen(docs, bloom, args.key_col, drop_seen=True)
+            metrics["seen_screen"] = args.seen
+        if args.cap_per_domain:
+            docs = cap_per_key(
+                docs, args.domain_col, args.cap_per_domain,
+                [args.key_col], salt="screen",
+            )
+            metrics["cap_per_domain"] = args.cap_per_domain
+        result_ds = docs
 
     if result_ds is not None and getattr(args, "out", None):
         result_ds.write_parquet(args.out)
