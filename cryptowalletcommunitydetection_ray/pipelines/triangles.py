@@ -62,8 +62,13 @@ def _triangle_counts_once(
     assert P >= 2, "triangle protocol requires >= 2 partitions"
     ray.get([s.reset.remote(_K) for s in shards])
 
-    # phase 1+2: degree exchange, orientation
-    reqs = ray.get([s.call.remote(_K, "degree_requests") for s in shards])
+    # phase 1+2: degree exchange, orientation.  Request arrays stay in the
+    # object store (num_returns=P slot refs, passed as direct args so Ray
+    # resolves them in the callee) — the driver never touches the data.
+    reqs = [
+        s.call.options(num_returns=P).remote(_K, "degree_requests")
+        for s in shards
+    ]
     replies = [
         [shards[q].call.remote(_K, "degrees_for", reqs[p][q]) for q in range(P)]
         for p in range(P)

@@ -69,7 +69,10 @@ class TriangleState:
 
     # --- phase 1/2: degree exchange --------------------------------------
     def degree_requests(self):
-        return self.req
+        """Tuple of nparts request arrays — called with ``num_returns=nparts``
+        so each slot stays an object-store ref routed shard→shard (the
+        driver never pulls or re-ships the request arrays)."""
+        return tuple(self.req)
 
     def degrees_for(self, vids: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.vids, vids)
@@ -94,23 +97,36 @@ class TriangleState:
         return max(1, int(np.ceil(self.n_local / max(1, wedge_block))))
 
     def wedges_for_block(self, block: int, wedge_block: int):
-        """Returns nparts+1 slots: per-q (x, y, apex) arrays, then None."""
-        import pandas as pd
+        """Returns nparts+1 slots: per-q (x, y, apex) arrays, then None.
 
+        Wedges are enumerated directly from the (src, dst)-lexsorted edge
+        array: within each apex's contiguous run the neighbors are sorted
+        ascending and distinct, so every (i, j) index pair with i < j
+        yields exactly the ordered combinations n_x < n_y — no join, no
+        k² cartesian blowup, pure numpy repeat/cumsum arithmetic."""
         nparts = self.data.nparts
         lo = block * wedge_block
         hi = min(self.n_local, lo + wedge_block)
         sel = self.oriented & (self.src_idx >= lo) & (self.src_idx < hi)
         if not sel.any():
             return (*([None] * nparts), None)
-        df = pd.DataFrame({"a": self.src_idx[sel], "n": self.dst_sorted[sel]})
-        m = df.merge(df, on="a")
-        m = m[m["n_x"] < m["n_y"]]
-        if not len(m):
+        a = self.src_idx[sel]
+        nb = self.dst_sorted[sel]
+        n = len(a)
+        change = np.flatnonzero(a[1:] != a[:-1]) + 1
+        starts = np.concatenate((np.zeros(1, np.int64), change))
+        k = np.diff(np.concatenate((starts, [n])))
+        end_per_elem = np.repeat(starts + k, k)
+        cnt = end_per_elem - np.arange(n) - 1  # right-partners per element
+        total = int(cnt.sum())
+        if total == 0:
             return (*([None] * nparts), None)
-        x = m["n_x"].to_numpy()  # canonical: min vid of the closing pair
-        y = m["n_y"].to_numpy()
-        apex = self.vids[m["a"].to_numpy()]
+        i_abs = np.repeat(np.arange(n), cnt)
+        run_start = np.concatenate((np.zeros(1, np.int64), np.cumsum(cnt)[:-1]))
+        j_abs = np.arange(total, dtype=np.int64) - np.repeat(run_start, cnt) + i_abs + 1
+        x = nb[i_abs]  # canonical: min vid of the closing pair
+        y = nb[j_abs]
+        apex = self.vids[a[i_abs]]
         xp = (x.astype(np.uint64) % np.uint64(nparts)).astype(np.int64)
         out = []
         for q in range(nparts):
