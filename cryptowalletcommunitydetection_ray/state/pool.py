@@ -18,7 +18,19 @@ import ray
 from ..pipelines.edges import read_meta
 from .csr import KernelShard
 
-_POOLS: dict[tuple[str, int], tuple[list, int]] = {}
+_POOLS: dict[tuple[str, int], tuple[list, int, str]] = {}
+
+
+def _session_token() -> str:
+    """Identity of the current Ray CLUSTER.  Cached pools from a previous
+    ``ray.init`` cycle (CLI ``main()`` calls shut Ray down when they
+    finish) hold dead actor handles; job ids restart at the same value on
+    every fresh cluster, so the GCS address — unique per cluster instance
+    — is the invalidation token."""
+    try:
+        return str(ray.get_runtime_context().gcs_address)
+    except Exception:
+        return ""
 
 
 def default_pool_size(sp: int) -> int:
@@ -40,24 +52,32 @@ def get_pool(graph_dir: str, nparts: int | None = None) -> tuple[list, int]:
     if sp % P != 0:
         raise ValueError(f"pool size {P} must divide SP={sp}")
     key = (os.path.abspath(graph_dir), P)
+    tok = _session_token()
     got = _POOLS.get(key)
+    if got is not None and got[2] != tok:
+        _POOLS.pop(key)  # actors belong to a previous (dead) cluster
+        got = None
     if got is None:
         shards = [KernelShard.remote(graph_dir, p, P) for p in range(P)]
-        got = (shards, P)
+        got = (shards, P, tok)
         _POOLS[key] = got
-    return got
+    return got[0], got[1]
+
+
+def _kill_entry(shards) -> None:
+    for a in shards:
+        try:
+            ray.kill(a)
+        except Exception:
+            pass  # cluster already gone
 
 
 def close_pool(graph_dir: str) -> None:
     key_dir = os.path.abspath(graph_dir)
     for key in [k for k in _POOLS if k[0] == key_dir]:
-        shards, _ = _POOLS.pop(key)
-        for a in shards:
-            ray.kill(a)
+        _kill_entry(_POOLS.pop(key)[0])
 
 
 def close_all_pools() -> None:
     for key in list(_POOLS):
-        shards, _ = _POOLS.pop(key)
-        for a in shards:
-            ray.kill(a)
+        _kill_entry(_POOLS.pop(key)[0])
