@@ -88,11 +88,17 @@ def hosts_of(urls) -> "pa.Array":
         urls = urls.combine_chunks()
     ex = pc.extract_regex(urls, r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<h>[^/?#]*)")
     fast = pc.utf8_lower(pc.struct_field(ex, "h"))
-    miss = pc.is_null(fast)
+    # ASCII tab/CR/LF anywhere in the url: urlsplit STRIPS them (bpo-43882)
+    # while the regex would keep them inside the netloc — force such rows
+    # (and null entries, which the fast path would hand to host_of(None))
+    # onto the urlsplit route; null inputs map to ""
+    ctrl = pc.fill_null(pc.match_substring_regex(urls, "[\t\r\n]"), False)
+    miss = pc.or_(pc.is_null(fast), ctrl)
     if pc.any(miss).as_py():
         idx = np.flatnonzero(miss.to_numpy(zero_copy_only=False))
         slow = pa.array(
-            [host_of(urls[int(i)].as_py()) for i in idx], type=pa.string()
+            [host_of(urls[int(i)].as_py() or "") for i in idx],
+            type=pa.string(),
         )
         fast = pc.replace_with_mask(fast, miss, slow)
     return fast

@@ -158,9 +158,18 @@ def run_incremental(
         # (timestamp('us') or int64 microseconds — the stats pass supports
         # both) so an int64-ts stream doesn't fail with an Arrow type error
         if pa.types.is_timestamp(ts_type):
-            mul = {"s": 1e-6, "ms": 1e-3, "us": 1, "ns": 1e3}[ts_type.unit]
-            lo_v = pa.scalar(int(lo_w * mul), pa.timestamp(ts_type.unit))
-            hi_v = pa.scalar(int(hi_w * mul), pa.timestamp(ts_type.unit))
+            # pure-integer unit conversion: a float multiplier (lo_w * 1e3)
+            # exceeds float64's 2^53 exact-integer range for ns-unit
+            # columns, drifting the pushed-down boundary by up to ~256 ns
+            # and misclassifying events at exact window edges
+            conv = {
+                "s": lambda v: v // 1_000_000,
+                "ms": lambda v: v // 1_000,
+                "us": lambda v: v,
+                "ns": lambda v: v * 1_000,
+            }[ts_type.unit]
+            lo_v = pa.scalar(conv(lo_w), pa.timestamp(ts_type.unit))
+            hi_v = pa.scalar(conv(hi_w), pa.timestamp(ts_type.unit))
         else:
             lo_v = pa.scalar(lo_w, pa.int64())
             hi_v = pa.scalar(hi_w, pa.int64())

@@ -141,9 +141,11 @@ def bloom_fold(
         init=lambda k: np.zeros(m_words, dtype=np.uint64),
         accumulate_block=accumulate_block,
         merge=np.bitwise_or,
-        # int64 list — uint64 numpy arrays don't round-trip Arrow blocks
-        # losslessly everywhere; the bit pattern is what matters
-        finalize=lambda bits: bits.view(np.int64).tolist(),
+        # raw bytes — a flat Arrow binary cell.  A Python int64 list here
+        # would materialize m_bits/64 boxed ints (several GB at the
+        # north-rule ~1.2 GB filter size) inside the aggregate result
+        # block; bytes keep it one buffer end to end
+        finalize=lambda bits: bits.tobytes(),
         name=alias_name or f"bloom({key_col})",
     )
 
@@ -167,7 +169,7 @@ def build_bloom_distributed(
             alias_name="bits",
         )
     )
-    bits = np.asarray(out["bits"], dtype=np.int64).view(np.uint64)
+    bits = np.frombuffer(out["bits"], dtype=np.uint64).copy()
     return ray.put(
         {"bits": bits, "m_bits": m_bits, "k_hashes": k_hashes, "salt": salt}
     )

@@ -185,7 +185,11 @@ def main(argv=None):
         )
 
         docs = rd.read_parquet(args.docs)
-        n_in = docs.count()
+        # row count from parquet metadata — an eager docs.count() would
+        # execute a full extra read of the input before the pipeline runs
+        import pyarrow.dataset as pads
+
+        n_in = pads.dataset(args.docs).count_rows()
         metrics = {"algorithm": "screen", "rows_in": n_in}
         if args.seen:
             seen_key = args.seen_key or args.key_col
@@ -207,8 +211,16 @@ def main(argv=None):
     if result_ds is not None and getattr(args, "out", None):
         result_ds.write_parquet(args.out)
         metrics["out"] = args.out
+        if args.cmd == "screen":
+            # rows_out for screen comparison, from the written files'
+            # parquet metadata (no re-read)
+            import pyarrow.dataset as pads
+
+            metrics["rows_out"] = pads.dataset(args.out).count_rows()
     elif result_ds is not None:
         metrics["rows"] = result_ds.count()
+        if args.cmd == "screen":
+            metrics["rows_out"] = metrics["rows"]
 
     metrics.pop("history", None)
     print(json.dumps(metrics, default=str))

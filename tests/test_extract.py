@@ -191,3 +191,28 @@ def test_hosts_of_equivalence():
     ]
     got = hosts_of(pa.array(urls, type=pa.string())).to_pylist()
     assert got == [host_of(u) for u in urls]
+
+
+def test_hosts_of_control_chars_and_nulls():
+    """Tab/CR/LF-bearing urls take the urlsplit path (which STRIPS them per
+    bpo-43882 — the regex fast path would keep them inside the netloc), and
+    null entries map to "" instead of crashing host_of(None)."""
+    import pyarrow as pa
+
+    from cryptowalletcommunitydetection_ray.functions.extract import (
+        host_of,
+        hosts_of,
+    )
+
+    urls = [
+        "http://exa\tmple.com/a",      # tab inside netloc
+        "http://host.com/pa\nth",      # LF in path (netloc unaffected)
+        "ht\ttp://tab-in-scheme.com/",  # tab in scheme
+        "http://cr\r.example.org/x",
+        None,
+        "http://plain.example/",
+    ]
+    got = hosts_of(pa.array(urls, type=pa.string())).to_pylist()
+    want = [host_of(u) if u is not None else "" for u in urls]
+    assert got == want
+    assert got[0] == "example.com"  # stripped, not "exa\tmple.com"
