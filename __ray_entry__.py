@@ -455,11 +455,31 @@ def _q_doc_quality(sf_dir):
 
 
 def _q_exact_dedup_docs(sf_dir):
+    """Digest-keyed exact-dedup census: the shuffle carries (digest₁,
+    digest₂, doc_id) — 24 bytes/row — instead of the document text (the
+    100 TB shape; ``stages/dedup.py:exact_dedup_digest``).  Grouping by
+    the 128-bit digest equals grouping by text up to a ~n²/2¹²⁹ collision
+    (the oracle groups by text directly)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import digest128
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        d1, d2 = digest128(df["text"].to_numpy())
+        return pd.DataFrame(
+            {
+                "__d1": d1,
+                "__d2": d2,
+                "doc_id": df["doc_id"].to_numpy(),
+                "__part": (d1.astype(np.uint64) % np.uint64(16)).astype(
+                    np.int32
+                ),
+            }
+        )
 
     def key_counts(g: pd.DataFrame) -> pd.DataFrame:
         out = (
-            g.groupby("text")["doc_id"]
+            g.groupby(["__d1", "__d2"])["doc_id"]
             .agg(["min", "size"])
             .reset_index(drop=True)
             .rename(columns={"min": "keep_id", "size": "n_copies"})
@@ -467,18 +487,8 @@ def _q_exact_dedup_docs(sf_dir):
         out["n_copies"] = out["n_copies"].astype(np.int64)
         return out
 
-    # hash-partition by text, then one vectorized per-partition groupby
-    from cryptowalletcommunitydetection_ray.context import hash64
-
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__part"] = (
-            hash64(df["text"].to_numpy()).astype(np.uint64) % np.uint64(16)
-        ).astype(np.int32)
-        return df
-
     return (
-        docs.map_batches(add_part, batch_format="pandas")
+        docs.map_batches(sig, batch_format="pandas")
         .groupby("__part")
         .map_groups(key_counts, batch_format="pandas")
     )

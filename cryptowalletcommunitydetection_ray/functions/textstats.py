@@ -141,6 +141,65 @@ def fingerprint_with_hashes(text: str) -> tuple[int, np.ndarray]:
     return fp, hs.view(np.int64)
 
 
+def _mulmod_base(fp: np.ndarray) -> np.ndarray:
+    """(fp · FP_BASE) mod FP_MOD for fp < 2^61, vectorized WITHOUT 128-bit
+    ints: split fp = hi·2^32 + lo, then reduce hi·BASE·2^32 via the
+    Mersenne identity 2^61 ≡ 1 (mod 2^61−1).  Bounds: hi·BASE < 2^49 so
+    its top 20 bits fold to an additive term < 2^20; every intermediate
+    stays < 2^62 (fits uint64)."""
+    M = np.uint64(FP_MOD)
+    hi = fp >> np.uint64(32)
+    lo = fp & np.uint64(0xFFFFFFFF)
+    a = hi * np.uint64(FP_BASE)                       # < 2^49
+    b = lo * np.uint64(FP_BASE)                       # < 2^52
+    # a·2^32 = (a >> 29)·2^61 + (a & (2^29−1))·2^32  ≡  (a>>29) + low·2^32
+    t = (a >> np.uint64(29)) + ((a & np.uint64((1 << 29) - 1)) << np.uint64(32)) + b
+    t = (t >> np.uint64(61)) + (t & M)
+    return np.where(t >= M, t - M, t)
+
+
+def _mod_m(x: np.ndarray) -> np.ndarray:
+    """x mod FP_MOD for x < 2^62 + 2^61 (one shift-fold + one subtract)."""
+    M = np.uint64(FP_MOD)
+    t = (x >> np.uint64(61)) + (x & M)
+    t = (t >> np.uint64(61)) + (t & M)
+    return np.where(t >= M, t - M, t)
+
+
+def fingerprints_batch(texts) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Batch-vectorized ``fingerprint_with_hashes``: ONE hash64 call over
+    the batch's concatenated token stream, then the rolling fold advances
+    all documents one token position per iteration (numpy ops over the
+    active-doc set) — the per-token Python loop becomes a per-POSITION
+    vector loop, ~median-doc-length× fewer interpreter round-trips.
+    Returns (uint64 fingerprints, per-doc int64 token-hash vectors).
+    Value-identical to the per-doc path (pinned by test_text)."""
+    toks_per_doc = [WS_TOKEN_RE.findall(t or "") for t in texts]
+    n = len(texts)
+    lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    flat = [t for doc in toks_per_doc for t in doc]
+    hs_all = (
+        hash64(np.array(flat, dtype=object)).astype(np.uint64)
+        if flat
+        else np.empty(0, np.uint64)
+    )
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    fps = np.zeros(n, dtype=np.uint64)
+    active = np.flatnonzero(lens > 0)
+    pos = 0
+    with np.errstate(over="ignore"):
+        while len(active):
+            h = hs_all[offsets[active] + pos]
+            hm = _mod_m(h)
+            fps[active] = _mod_m(_mulmod_base(fps[active]) + hm)
+            pos += 1
+            active = active[lens[active] > pos]
+    vecs = [
+        hs_all[offsets[i] : offsets[i + 1]].view(np.int64) for i in range(n)
+    ]
+    return fps, vecs
+
+
 def langid(text: str) -> str:
     """Stopword-hit heuristic; deterministic tie-break by LANG_ORDER."""
     toks = [t.lower() for t in WS_TOKEN_RE.findall(text)]

@@ -294,5 +294,18 @@ def top_communities(
             )
         ),
         batch_format="pyarrow",
-    ).sort(["num_user", "_id"], descending=[True, False])
+    )
+    if k is not None:
+        # per-block partial top-k (the _merge_topk pattern): the global
+        # sort then ranks <= k rows per block, never range-partitioning
+        # the full community table
+        def local_topk(t):
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[("num_user", "descending"), ("_id", "ascending")],
+            )
+            return t.take(idx[:k])
+
+        out = out.map_batches(local_topk, batch_format="pyarrow")
+    out = out.sort(["num_user", "_id"], descending=[True, False])
     return out.limit(k) if k is not None else out

@@ -303,27 +303,70 @@ def neardup_pairs_cosine(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     concurrency: int = 4,
+    broadcast_max_rows: int = 200_000,
+    hard_max_rows: int = 5_000_000,
 ) -> rd.Dataset:
     """Exact all-pairs cosine near-dup: (a_id, b_id, sim) with a < b.
 
-    Broadcasts the normalized corpus once; each batch scans it with one
-    matmul.  O(n²) similarity work split across the pool — the exact
-    baseline the LSH variant is verified against.
+    Size-dispatched like ``minhash_dedup_pairs``: a corpus under
+    ``broadcast_max_rows`` is driver-collected once and broadcast whole;
+    a larger corpus takes the CHUNKED route — the corpus streams through
+    the driver in ``broadcast_max_rows``-sized chunks, each ``ray.put``
+    separately and scanned by its own stage, so the driver never holds
+    more than one chunk and each unordered pair is still emitted exactly
+    once (pair (x, y), x < y, appears only where the batch row is x and
+    the chunk holds y).  Both paths emit identical rows (pinned by
+    test_ann).  Above ``hard_max_rows`` this raises — exact all-pairs is
+    O(n²) compute and ``lsh_neardup_pairs_cosine`` is the scale path.
     """
-    side = embeddings.select_columns([id_col, emb_col]).to_pandas()
-    side = side.sort_values(id_col)
-    ref = ray.put(
-        {"ids": side[id_col].to_numpy(), "mat": _normalize(_emb_matrix(side, emb_col))}
-    )
-    return embeddings.select_columns([id_col, emb_col]).map_batches(
-        _PairScorer,
-        fn_constructor_kwargs=dict(
-            corpus_ref=ref, threshold=threshold, id_col=id_col, emb_col=emb_col
-        ),
-        batch_format="pandas",
-        batch_size=2048,
-        concurrency=(1, concurrency),
-    )
+    n = embeddings.count()
+    if n > hard_max_rows:
+        raise ValueError(
+            f"neardup_pairs_cosine: {n} rows exceeds hard_max_rows="
+            f"{hard_max_rows}; exact all-pairs is O(n²) — use "
+            f"lsh_neardup_pairs_cosine (bucketed, capped) at this scale "
+            f"or raise hard_max_rows explicitly"
+        )
+    src = embeddings.select_columns([id_col, emb_col])
+
+    def _chunk_ref(df: pd.DataFrame):
+        df = df.sort_values(id_col)
+        return ray.put(
+            {
+                "ids": df[id_col].to_numpy(),
+                "mat": _normalize(_emb_matrix(df, emb_col)),
+            }
+        )
+
+    if n <= broadcast_max_rows:
+        refs = [_chunk_ref(src.to_pandas())]
+    else:
+        refs = []
+        buf: list[pd.DataFrame] = []
+        buffered = 0
+        for b in src.iter_batches(batch_format="pandas", batch_size=8192):
+            buf.append(b)
+            buffered += len(b)
+            if buffered >= broadcast_max_rows:
+                refs.append(_chunk_ref(pd.concat(buf, ignore_index=True)))
+                buf, buffered = [], 0
+        if buffered:
+            refs.append(_chunk_ref(pd.concat(buf, ignore_index=True)))
+
+    scans = [
+        src.map_batches(
+            _PairScorer,
+            fn_constructor_kwargs=dict(
+                corpus_ref=ref, threshold=threshold, id_col=id_col,
+                emb_col=emb_col,
+            ),
+            batch_format="pandas",
+            batch_size=2048,
+            concurrency=(1, concurrency),
+        )
+        for ref in refs
+    ]
+    return scans[0].union(*scans[1:]) if len(scans) > 1 else scans[0]
 
 
 class _HyperplaneBucketer:

@@ -40,6 +40,84 @@ def _jaccard6(inter: np.ndarray, union: np.ndarray) -> np.ndarray:
     return np.floor(j * 1e6 + 0.5) / 1e6
 
 
+def digest128(values) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content digest of a string array as two independent 64-bit
+    halves (two hash passes under different 16-byte keys — a collision
+    must defeat both).  Used by the digest-keyed dedup path so wide keys
+    (document text) never enter a shuffle: the digest is 16 bytes
+    regardless of key width."""
+    import pandas.util as pdu
+
+    arr = np.asarray(values, dtype=object)
+    d1 = pdu.hash_array(arr, hash_key="cwcd.dedup.dig.1", categorize=False)
+    d2 = pdu.hash_array(arr, hash_key="cwcd.dedup.dig.2", categorize=False)
+    return d1.view(np.int64), d2.view(np.int64)
+
+
+def _composite_key(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
+    if len(key_cols) == 1:
+        return df[key_cols[0]].astype(str).to_numpy()
+    return df[list(key_cols)].astype(str).agg("\x1f".join, axis=1).to_numpy()
+
+
+def exact_dedup_digest(
+    ds: rd.Dataset,
+    key_cols: Sequence[str],
+    id_col: str,
+    num_partitions: int = 64,
+    keep_order_col: str | None = None,
+    digest_fn=None,
+) -> rd.Dataset:
+    """Digest-keyed exact dedup — the 100 TB shape of ``exact_dedup`` for
+    WIDE keys (full document text): the dedup shuffle carries only
+    (digest₁, digest₂, id[, order]) — 24–32 bytes/row — instead of the
+    key bytes; survivors are recovered with one id-keyed hash join
+    (int64 keys) against the original dataset.
+
+    Contract: ``id_col`` must be unique per row.  Two DIFFERENT keys with
+    equal 128-bit digest are (wrongly) merged — probability ≈ n²/2¹²⁹,
+    negligible below ~10¹⁵ rows; callers needing certainty keep the
+    byte-compare path (``exact_dedup``), which ships the key.
+    ``digest_fn(df) -> (int64 array, int64 array)`` is injectable so tests
+    can force collisions and pin the merge behavior.
+    """
+    key_cols = list(key_cols)
+    order = keep_order_col or id_col
+
+    def sig(df: pd.DataFrame) -> pd.DataFrame:
+        if digest_fn is not None:
+            d1, d2 = digest_fn(df)
+        else:
+            d1, d2 = digest128(_composite_key(df, key_cols))
+        out = pd.DataFrame(
+            {"__d1": d1, "__d2": d2, id_col: df[id_col].to_numpy()}
+        )
+        if keep_order_col:
+            out[keep_order_col] = df[keep_order_col].to_numpy()
+        # local pre-winner per digest: shrinks the (already narrow) shuffle
+        out = out.sort_values(order, kind="stable").drop_duplicates(
+            ["__d1", "__d2"], keep="first"
+        )
+        out[_PART] = (
+            out["__d1"].to_numpy().astype(np.uint64)
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return out
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="stable").drop_duplicates(
+            ["__d1", "__d2"], keep="first"
+        )
+        return g[[id_col]]
+
+    winners = (
+        ds.map_batches(sig, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(pick, batch_format="pandas")
+    )
+    return ds.join(winners, "inner", num_partitions, on=(id_col,))
+
+
 def exact_dedup(
     ds: rd.Dataset,
     key_cols: Sequence[str],
@@ -51,6 +129,8 @@ def exact_dedup(
     If ``keep_order_col`` is given, the kept row is the one with the minimal
     value of that column (deterministic winner, e.g. min doc_id); otherwise
     an arbitrary-but-single row survives (sufficient for set semantics).
+    For WIDE keys at scale, see ``exact_dedup_digest`` (the shuffle carries
+    a 16-byte digest instead of the key bytes).
     """
     key_cols = list(key_cols)
 
@@ -517,11 +597,9 @@ class SimHasher:
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hashes import simhash64
+        from ..functions.hashes import simhash64_batch
 
-        sh = np.array(
-            [simhash64(t) for t in df[self.text_col]], dtype=np.uint64
-        )
+        sh = simhash64_batch(df[self.text_col].fillna("").tolist())
         out = pd.DataFrame(
             {self.id_col: df[self.id_col].to_numpy(), "simhash": sh.view(np.int64)}
         )

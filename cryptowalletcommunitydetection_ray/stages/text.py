@@ -161,21 +161,15 @@ def fingerprints(
     SimHash signature table."""
     import pyarrow as pa
 
-    from ..functions.textstats import fingerprint_with_hashes
+    from ..functions.textstats import fingerprints_batch
 
     def f(df: pd.DataFrame) -> pa.Table:
-        pairs = [fingerprint_with_hashes(t) for t in df[text_col].fillna("")]
+        fps, vecs = fingerprints_batch(df[text_col].fillna("").tolist())
         return pa.table(
             {
                 id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
-                "fingerprint": pa.array(
-                    np.array([p[0] for p in pairs], dtype=np.uint64).view(
-                        np.int64
-                    )
-                ),
-                "hashes": pa.array(
-                    [p[1] for p in pairs], type=pa.list_(pa.int64())
-                ),
+                "fingerprint": pa.array(fps.view(np.int64)),
+                "hashes": pa.array(vecs, type=pa.list_(pa.int64())),
             }
         )
 
@@ -230,7 +224,18 @@ def token_topk(
         .groupby("token")
         .aggregate(Sum("n_part", alias_name="n"))
     )
-    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+    # per-block partial top-k before the final sort: each block of the
+    # distinct-token table keeps its local k best, so the global sort
+    # ranks <= k rows per block instead of range-partitioning the entire
+    # vocabulary — the _merge_topk pattern, not a full-table ds.sort
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["n", "token"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    trimmed = counts.map_batches(local_topk, batch_format="pandas")
+    return trimmed.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
 def inverted_index(

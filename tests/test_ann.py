@@ -184,3 +184,34 @@ def test_lsh_strict_caps_and_export(ray_session, tmp_path):
     assert len(b) == 40 and set(b.columns) == {"vec_id", "bucket"}
     assert sorted(b["vec_id"]) == list(range(40))
     assert (pairs["sim_e6"] >= 990000).all() if len(pairs) else True
+
+
+def test_neardup_chunked_path_equality(emb_ds):
+    """A corpus straddling broadcast_max_rows yields IDENTICAL pairs on the
+    chunked route (3 chunks here) and the single-broadcast route, and the
+    hard cap raises instead of silently materializing a huge corpus on the
+    driver."""
+    from cryptowalletcommunitydetection_ray.stages.ann import (
+        neardup_pairs_cosine,
+    )
+
+    ds, _ = emb_ds  # 50 rows
+
+    def norm(df):
+        return (
+            df.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+        )
+
+    whole = norm(
+        neardup_pairs_cosine(ds, threshold=0.9).to_pandas()
+    )
+    chunked = norm(
+        neardup_pairs_cosine(
+            ds, threshold=0.9, broadcast_max_rows=17
+        ).to_pandas()
+    )
+    assert len(whole) > 0
+    pd.testing.assert_frame_equal(whole, chunked)
+
+    with pytest.raises(ValueError, match="lsh_neardup_pairs_cosine"):
+        neardup_pairs_cosine(ds, threshold=0.9, hard_max_rows=10)

@@ -321,3 +321,101 @@ def test_simhash_pairs_equal_allpairs_hamming(ray_session, tmp_path):
     got = set(zip(pairs["a"], pairs["b"], pairs["hamming"]))
     assert want, "fixture must contain true near-dup pairs"
     assert got == want
+
+
+def test_simhash_batch_parity_both_paths():
+    """simhash64_batch == per-doc simhash64 on BOTH the dense counts-matmul
+    path and the huge-vocabulary fallback (forced by an all-distinct token
+    corpus pushing n_docs x n_uniq past the dense gate)."""
+    from cryptowalletcommunitydetection_ray.functions.hashes import (
+        simhash64,
+        simhash64_batch,
+    )
+
+    small = ["", "one two two", "the the the cat", "x " * 50]
+    got = simhash64_batch(small)
+    assert [int(v) for v in got] == [simhash64(t) for t in small]
+
+    # 300 docs x ~90k distinct tokens -> n*u ~ 27M > the 8M dense gate
+    big = [
+        " ".join(f"tok{i}_{j}" for j in range(300)) for i in range(300)
+    ] + ["", "shared shared token"]
+    got = simhash64_batch(big)
+    want = [simhash64(t) for t in big]
+    assert [int(v) for v in got] == want
+
+
+def test_exact_dedup_digest_matches_bytecompare(ray_session):
+    """Digest-keyed dedup (narrow shuffle + id join) keeps exactly the same
+    survivors as the byte-compare path on a corpus with real duplicates."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        exact_dedup,
+        exact_dedup_digest,
+    )
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    # inject exact duplicates (text of doc i copied to new id 10000+i)
+    dupes = docs.head(40).copy()
+    dupes["doc_id"] = dupes["doc_id"] + 10_000
+    docs = pd.concat([docs, dupes], ignore_index=True)
+    ds = rd.from_pandas(docs, override_num_blocks=4)
+    byte_path = (
+        exact_dedup(ds, ["text"], num_partitions=8, keep_order_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    digest_path = (
+        exact_dedup_digest(
+            ds, ["text"], "doc_id", num_partitions=8,
+            keep_order_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[["doc_id", "text"]]
+    )
+    assert len(byte_path) < len(docs)  # corpus really has duplicates
+    pd.testing.assert_frame_equal(
+        byte_path.reset_index(drop=True), digest_path
+    )
+
+
+def test_exact_dedup_digest_collision_behavior(ray_session):
+    """Documented digest-collision semantics: two DIFFERENT keys whose
+    injected digest collides are merged to one winner (min order) — the
+    ~n²/2¹²⁹ failure mode the docstring quantifies."""
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.dedup import (
+        exact_dedup_digest,
+    )
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha", "beta", "gamma", "alpha"],
+        }
+    )
+
+    def colliding(frame):
+        # 'alpha' and 'beta' forced onto the same 128-bit digest
+        key = frame["text"].map(
+            {"alpha": 7, "beta": 7, "gamma": 9}
+        ).to_numpy(np.int64)
+        return key, key
+
+    out = exact_dedup_digest(
+        rd.from_pandas(df, override_num_blocks=2),
+        ["text"],
+        "doc_id",
+        num_partitions=4,
+        keep_order_col="doc_id",
+        digest_fn=colliding,
+    ).to_pandas()
+    # alpha(1) wins the collided group {alpha:1, beta:2, alpha:4}; gamma survives
+    assert sorted(out["doc_id"].tolist()) == [1, 3]

@@ -309,3 +309,28 @@ def test_contamination_screen_matches_duckdb(ray_session):
     ).df()
     assert got2["doc_id"].tolist() == want["doc_id"].tolist()
     assert got2["n_hits"].tolist() == want["n_hits"].astype(int).tolist()
+
+
+def test_fingerprints_batch_parity():
+    """Batch-vectorized fold is value-identical to the per-doc path across
+    empty, whitespace-only, single-token and long documents."""
+    import numpy as np
+
+    from cryptowalletcommunitydetection_ray.functions.textstats import (
+        fingerprint_with_hashes,
+        fingerprints_batch,
+    )
+
+    texts = [
+        "",
+        "   \t\n ",
+        "one",
+        "the quick brown fox jumps over the lazy dog",
+        "a b c " * 1000,
+        "Zz " * 3,
+    ]
+    fps, vecs = fingerprints_batch(texts)
+    for i, t in enumerate(texts):
+        fp, hv = fingerprint_with_hashes(t)
+        assert int(fps[i]) == fp
+        assert np.array_equal(vecs[i], hv)
