@@ -22,6 +22,67 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+_PART = "__part"
+
+
+def _hash_part(vals: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Partition id from a key array: integer keys use their own uint64
+    bits, everything else hashes its string form.  The backbone of the
+    partitioned-vectorized pattern (below): group on ``__part`` and
+    process EVERY key of the partition in one vectorized call, instead of
+    ``groupby(key).map_groups(fn)``'s one interpreter round-trip per key
+    (10⁸ keys = 10⁸ Python calls — the classic map_groups overhead trap;
+    see ``dedup.exact_dedup``)."""
+    from ..context import hash64
+
+    vals = np.asarray(vals)
+    if vals.dtype.kind in "iu":
+        u = vals.astype(np.uint64)
+    else:
+        u = hash64(vals.astype(object)).astype(np.uint64)
+    return (u % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _seg_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Per-row start index of the row's key segment in a key-sorted array
+    (the numpy segment-op backbone: combine with diff/reduceat/flatnonzero
+    for per-key aggregates without per-key calls)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = sorted_keys[1:] != sorted_keys[:-1]
+    return np.maximum.accumulate(np.where(new, np.arange(n), -1))
+
+
+def _segmented_searchsorted(
+    vals: np.ndarray,
+    seg_lo: np.ndarray,
+    seg_hi: np.ndarray,
+    queries: np.ndarray,
+    side: str,
+) -> np.ndarray:
+    """Per-segment binary search, vectorized over queries: for query i,
+    the insertion position of ``queries[i]`` within
+    ``vals[seg_lo[i]:seg_hi[i]]`` (position returned as a GLOBAL index).
+    log₂(max segment) bisection iterations of whole-array numpy ops — the
+    per-key ``np.searchsorted`` loop without the per-key Python."""
+    lo = np.asarray(seg_lo, dtype=np.int64).copy()
+    hi = np.asarray(seg_hi, dtype=np.int64).copy()
+    while True:
+        active = lo < hi
+        if not active.any():
+            return lo
+        mid = (lo + hi) >> 1
+        m = np.where(active, mid, 0)  # keep inactive lanes in-bounds
+        if side == "right":
+            go = vals[m] <= queries
+        else:
+            go = vals[m] < queries
+        lo = np.where(active & go, mid + 1, lo)
+        hi = np.where(active & ~go, mid, hi)
+
 
 def semi_join(ds: rd.Dataset, col: str, values: Sequence, negate: bool = False):
     """Broadcast semi/anti join vs a value list (S2/S3 ``$in`` readers,
@@ -52,7 +113,12 @@ def grouped_distinct(ds: rd.Dataset, col: str) -> rd.Dataset:
 
 
 def set_union_groupby(
-    ds: rd.Dataset, key: str, val: str, *, out_col: str = "tags"
+    ds: rd.Dataset,
+    key: str,
+    val: str,
+    *,
+    out_col: str = "tags",
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """Per key: sorted-distinct values joined with "," + distinct count —
     the reference's accumulate-then-``$addToSet`` merge semantics (A1/K1,
@@ -60,57 +126,96 @@ def set_union_groupby(
     ``databases/mongodb.py:110-118``).  Two-phase: per-batch partial sets
     shrink the shuffle; the per-key merge is idempotent (re-runs converge),
     which is the engine's late-data strategy (§2.10).
-    """
+
+    Partitioned-vectorized: keys are hash-routed to ``num_partitions``
+    groups and EVERY key of a partition is merged in one call — sort +
+    segment offsets feed one Arrow ``ListArray`` whose cells
+    ``binary_join`` into the joined strings (zero per-key Python)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df[[key, val]].drop_duplicates()
+        out = df[[key, val]].drop_duplicates()
+        out = out.copy()
+        out[_PART] = _hash_part(out[key].to_numpy(), num_partitions)
+        return out
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        vals = sorted(set(g[val].tolist()))
-        return pd.DataFrame(
+    def merge_part(g: pd.DataFrame) -> pa.Table:
+        # sort by NATIVE value dtype (pinned: the merge sorts values before
+        # stringifying — ints sort numerically, not lexically)
+        g = g[[key, val]].drop_duplicates().sort_values(
+            [key, val], kind="mergesort"
+        )
+        keys_arr = g[key].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+        ) if len(g) else np.empty(0, np.int64)
+        bounds = np.r_[starts, len(g)]
+        vals_str = g[val].astype(str).to_numpy()
+        la = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32)),
+            pa.array(vals_str, type=pa.string()),
+        )
+        return pa.table(
             {
-                key: [g[key].iloc[0]],
-                out_col: [",".join(str(v) for v in vals)],
-                "n_distinct": [len(vals)],
+                key: pa.array(keys_arr[starts]),
+                out_col: pc.binary_join(la, ","),
+                "n_distinct": pa.array(np.diff(bounds), type=pa.int64()),
             }
         )
 
     return (
         ds.select_columns([key, val])
         .map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .map_groups(merge, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(merge_part, batch_format="pandas")
     )
 
 
 def set_union_groupby_list(
-    ds: rd.Dataset, key: str, val: str, *, out_col: str = "tags"
+    ds: rd.Dataset,
+    key: str,
+    val: str,
+    *,
+    out_col: str = "tags",
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """Arrow-native K1 set-union: per key a sorted-distinct ``list<string>``
     column (the SURVEY §1.2 vertex-document shape — ``tags: list<string>``,
     ``databases/mongodb.py:110-118`` ``$addToSet``), not a joined string.
-    Two-phase like ``set_union_groupby``; the merge emits a real Arrow
-    ListArray so downstream stages can ``flatten``/``list_*`` on it."""
+    Same partitioned-vectorized shape as ``set_union_groupby``; cells sort
+    as STRINGS (pinned — this variant stringifies before sorting) and the
+    output is a real Arrow ListArray built straight from segment offsets."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df[[key, val]].drop_duplicates()
+        out = df[[key, val]].drop_duplicates().copy()
+        out[_PART] = _hash_part(out[key].to_numpy(), num_partitions)
+        return out
 
-    def merge(t: pa.Table) -> pa.Table:
-        g = t.to_pandas()
-        vals = sorted(set(g[val].astype(str).tolist()))
+    def merge_part(g: pd.DataFrame) -> pa.Table:
+        g = g[[key, val]].copy()
+        g[val] = g[val].astype(str)
+        g = g.drop_duplicates().sort_values([key, val], kind="mergesort")
+        keys_arr = g[key].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+        ) if len(g) else np.empty(0, np.int64)
+        bounds = np.r_[starts, len(g)]
+        la = pa.ListArray.from_arrays(
+            pa.array(bounds.astype(np.int32)),
+            pa.array(g[val].to_numpy(), type=pa.string()),
+        )
         return pa.table(
             {
-                key: pa.array([g[key].iloc[0]], type=pa.int64()),
-                out_col: pa.array([vals], type=pa.list_(pa.string())),
-                "n_distinct": pa.array([len(vals)], type=pa.int64()),
+                key: pa.array(keys_arr[starts], type=pa.int64()),
+                out_col: la,
+                "n_distinct": pa.array(np.diff(bounds), type=pa.int64()),
             }
         )
 
     return (
         ds.select_columns([key, val])
         .map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .map_groups(merge, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(merge_part, batch_format="pandas")
     )
 
 
@@ -150,6 +255,8 @@ def map_union_groupby(
     ``map<string,int64>`` cell with sorted keys.  Two-phase: per-batch
     (key, mkey) partial sums shrink the shuffle before the groupby."""
 
+    num_partitions = 32
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = (
             df.groupby([key, map_key_col], sort=False)[map_val_col]
@@ -157,28 +264,43 @@ def map_union_groupby(
             .reset_index()
         )
         out[map_val_col] = out[map_val_col].astype(np.int64)
+        out[_PART] = _hash_part(out[key].to_numpy(), num_partitions)
         return out
 
-    def merge(t: pa.Table) -> pa.Table:
-        g = t.to_pandas()
+    def merge_part(g: pd.DataFrame) -> pa.Table:
+        # ONE vectorized groupby-sum over the whole partition (C path),
+        # then the map cells come straight from segment offsets — sort by
+        # NATIVE map-key dtype before stringifying (pinned order)
         agg = (
-            g.groupby(map_key_col, sort=True)[map_val_col].sum().astype(np.int64)
+            g.groupby([key, map_key_col], sort=False)[map_val_col]
+            .sum()
+            .reset_index()
+            .sort_values([key, map_key_col], kind="mergesort")
         )
-        items = list(zip(agg.index.astype(str), agg.to_numpy()))
+        keys_arr = agg[key].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+        ) if len(agg) else np.empty(0, np.int64)
+        bounds = np.r_[starts, len(agg)]
+        ma = pa.MapArray.from_arrays(
+            pa.array(bounds.astype(np.int32)),
+            pa.array(agg[map_key_col].astype(str).to_numpy(), pa.string()),
+            pa.array(
+                agg[map_val_col].to_numpy().astype(np.int64), pa.int64()
+            ),
+        )
         return pa.table(
             {
-                key: pa.array([g[key].iloc[0]], type=pa.int64()),
-                out_col: pa.array(
-                    [items], type=pa.map_(pa.string(), pa.int64())
-                ),
+                key: pa.array(keys_arr[starts], type=pa.int64()),
+                out_col: ma,
             }
         )
 
     return (
         ds.select_columns([key, map_key_col, map_val_col])
         .map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .map_groups(merge, batch_format="pyarrow")
+        .groupby(_PART)
+        .map_groups(merge_part, batch_format="pandas")
     )
 
 
@@ -260,33 +382,64 @@ def sessionize(
     """Session windows per user: a new session starts when the gap to the
     previous event exceeds ``gap_s`` (streaming-shaped op per the guide:
     partition by key, sort by ts within the group).  Output one row per
-    session: (user_id, session_id, n_events, start_s, end_s)."""
+    session: (user_id, session_id, n_events, start_s, end_s).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        sec = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
-        new = np.r_[True, np.diff(sec) > gap_s]
-        sid = np.cumsum(new)
-        out = (
-            pd.DataFrame({"sid": sid, "sec": sec})
-            .groupby("sid")["sec"]
-            .agg(["size", "min", "max"])
-            .reset_index()
+    Partitioned-vectorized: ONE hash-partition shuffle on the user key,
+    then every user in the partition sessionizes in a single call — sort
+    by (user, sec), session breaks from one diff, per-session stats from
+    segment offsets.  No per-user Python."""
+    num_partitions = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        users = df[user_col].to_numpy()
+        return pd.DataFrame(
+            {
+                user_col: users,
+                "sec": df[ts_col].astype("int64").to_numpy() // 1_000_000,
+                _PART: _hash_part(users, num_partitions),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, "sec"], kind="mergesort")
+        users = g[user_col].to_numpy()
+        sec = g["sec"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    user_col: np.array([], users.dtype),
+                    "session_id": np.array([], np.int64),
+                    "n_events": np.array([], np.int64),
+                    "start_s": np.array([], np.int64),
+                    "end_s": np.array([], np.int64),
+                }
+            )
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        new_sess = new_user | np.r_[False, np.diff(sec) > gap_s]
+        starts = np.flatnonzero(new_sess)
+        bounds = np.r_[starts, n]
+        # per-user session numbering: session index minus the index of the
+        # user's first session, +1
+        sidx = np.arange(len(starts))
+        user_first = np.maximum.accumulate(
+            np.where(new_user[starts], sidx, -1)
         )
         return pd.DataFrame(
             {
-                user_col: g[user_col].iloc[0],
-                "session_id": out["sid"].astype(np.int64),
-                "n_events": out["size"].astype(np.int64),
-                "start_s": out["min"].astype(np.int64),
-                "end_s": out["max"].astype(np.int64),
+                user_col: users[starts],
+                "session_id": (sidx - user_first + 1).astype(np.int64),
+                "n_events": np.diff(bounds).astype(np.int64),
+                "start_s": sec[starts].astype(np.int64),
+                "end_s": sec[bounds[1:] - 1].astype(np.int64),
             }
         )
 
     return (
         events.select_columns([user_col, ts_col])
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -308,41 +461,66 @@ def carry_forward_merge(
     ``handler_func`` receives a ``(len(types), n_rows)`` float64 matrix of
     the forward-filled series (missing values already 0.0) and returns the
     combined length-``n_rows`` vector; ``None`` means element-wise sum
-    (the reference's default).  Pinned order within a key: (epoch second,
-    event_id) with stable input order; output one row per contributing
-    event: (user_id, sec, merged_e2) fixed-point ×100 int for hash-exact
-    compare.
-    """
+    (the reference's default).  ``handler_func`` must be ELEMENT-WISE (the
+    reference's is): the matrix now spans every user in a hash partition,
+    not one user.  Pinned order within a key: (epoch second, event_id)
+    with stable input order; output one row per contributing event:
+    (user_id, sec, merged_e2) fixed-point ×100 int for hash-exact compare.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g[type_col].isin(list(types))]
+    Partitioned-vectorized: ONE hash-partition shuffle on the user key;
+    within a partition the per-type forward-fill is a
+    ``maximum.accumulate`` over last-valid indices, fenced at user-segment
+    starts so no value leaks across users.  No per-user Python."""
+    num_partitions = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[type_col].isin(list(types))]
+        out = df[[user_col, "event_id", ts_col, type_col, value_col]].copy()
+        out[_PART] = _hash_part(df[user_col].to_numpy(), num_partitions)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
             return pd.DataFrame(
                 {user_col: [], "sec": [], "merged_e2": []}
-            ).astype({user_col: np.int64, "sec": np.int64, "merged_e2": np.int64})
-        g = g.sort_values([ts_col, "event_id"], kind="stable")
-        sec = (g[ts_col].astype("int64") // 1_000_000).to_numpy()
-        out = {user_col: g[user_col].to_numpy(), "sec": sec}
-        series = np.stack(
-            [
-                g[value_col]
-                .where(g[type_col] == t)
-                .ffill()
-                .fillna(0.0)
-                .to_numpy()
-                for t in types
-            ]
-        )
+            ).astype(
+                {user_col: np.int64, "sec": np.int64, "merged_e2": np.int64}
+            )
+        g = g.sort_values([user_col, ts_col, "event_id"], kind="mergesort")
+        n = len(g)
+        users = g[user_col].to_numpy()
+        sec = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        seg_start = _seg_starts(users)
+        tarr = g[type_col].to_numpy()
+        vals = g[value_col].to_numpy().astype(np.float64)
+        ar = np.arange(n)
+        series = np.empty((len(types), n), dtype=np.float64)
+        for j, t in enumerate(types):
+            last = np.maximum.accumulate(np.where(tarr == t, ar, -1))
+            ok = last >= seg_start  # fence: never fill across users
+            series[j] = np.where(
+                ok, vals[np.maximum(last, 0)], 0.0
+            )
         total = (
             series.sum(axis=0) if handler_func is None else handler_func(series)
         )
-        out["merged_e2"] = np.round(np.asarray(total) * 100).astype(np.int64)
-        return pd.DataFrame(out)
+        return pd.DataFrame(
+            {
+                user_col: users,
+                "sec": sec,
+                "merged_e2": np.round(np.asarray(total) * 100).astype(
+                    np.int64
+                ),
+            }
+        )
 
     return (
-        events.select_columns([user_col, "event_id", ts_col, type_col, value_col])
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pandas")
+        events.select_columns(
+            [user_col, "event_id", ts_col, type_col, value_col]
+        )
+        .map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -362,22 +540,44 @@ def asof_last_before(
     lookup event" is encoded as -1 (not NULL) so the column is plain int64
     end-to-end — nullable ints canonicalize differently (pandas ``Int64``
     NA vs DuckDB NULL→float NaN) across fetch paths and break strict
-    value-hash comparison."""
+    value-hash comparison.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="stable")
-        is_lookup = (g[type_col] == lookup_type).to_numpy()
+    Partitioned-vectorized: ONE hash-partition shuffle on the user key;
+    the carried index is a shifted ``maximum.accumulate`` fenced at
+    user-segment starts.  No per-user Python."""
+    num_partitions = 32
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[user_col, "event_id", ts_col, type_col]].copy()
+        out[_PART] = _hash_part(df[user_col].to_numpy(), num_partitions)
+        return out
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {"event_id": np.array([], np.int64),
+                 "asof_event_id": np.array([], np.int64)}
+            )
+        g = g.sort_values([user_col, ts_col, "event_id"], kind="mergesort")
+        n = len(g)
+        users = g[user_col].to_numpy()
         ids = g["event_id"].to_numpy()
-        carried = pd.Series(np.where(is_lookup, ids, np.nan)).ffill().shift(1)
-        sel = (g[type_col] == target_type).to_numpy()
-        asof = carried.to_numpy()[sel]
-        asof = np.where(np.isnan(asof), -1.0, asof).astype(np.int64)
-        return pd.DataFrame({"event_id": ids[sel], "asof_event_id": asof})
+        tarr = g[type_col].to_numpy()
+        seg_start = _seg_starts(users)
+        last = np.maximum.accumulate(np.where(tarr == lookup_type, np.arange(n), -1))
+        prev = np.r_[-1, last[:-1]]  # strictly-before shift
+        ok = prev >= seg_start
+        asof = np.where(ok, ids[np.maximum(prev, 0)], -1).astype(np.int64)
+        sel = tarr == target_type
+        return pd.DataFrame(
+            {"event_id": ids[sel], "asof_event_id": asof[sel]}
+        )
 
     return (
         events.select_columns([user_col, "event_id", ts_col, type_col])
-        .groupby(user_col)
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(per_part, batch_format="pandas")
     )
 
 
@@ -396,13 +596,18 @@ def asof_join(
     ``value_cols`` of the right row with the greatest ``ts_col`` ≤ (or <
     when ``strict``) the left row's, within the same ``by`` key.
 
-    Ray-Data-first shape: tag both sides, union, ONE groupby(by) shuffle,
-    then a vectorized per-group ``searchsorted`` merge — no driver-side
-    work, no broadcast.  Ties on right ``ts_col`` resolve to the row that
-    sorts LAST by (ts, *value_cols) — pinned so the DuckDB oracle can
-    reproduce it.  Unmatched left rows get ``default`` (plain int64, not
-    NULL — hash-stable; see ``asof_last_before``).  Output: all left
-    columns + ``asof_<value_col>`` columns.
+    Ray-Data-first shape: tag both sides, union, ONE hash-partition
+    shuffle on ``by``, then EVERY key of a partition merges in one
+    vectorized call — the right side sorts once by (key, ts, values),
+    per-key slice bounds come from two ``searchsorted`` calls over the
+    key codes, and the as-of probe is a segmented binary search
+    (``_segmented_searchsorted``: log-depth whole-array bisection).  No
+    per-key Python, no driver-side work, no broadcast.  Ties on right
+    ``ts_col`` resolve to the row that sorts LAST by (ts, *value_cols) —
+    pinned so the DuckDB oracle can reproduce it.  Unmatched left rows
+    get ``default`` (plain int64, not NULL — hash-stable; see
+    ``asof_last_before``).  Output: all left columns + ``asof_<value_col>``
+    columns.
     """
     value_cols = list(value_cols)
     left_cols = list(left.schema().names)
@@ -456,6 +661,7 @@ def asof_join(
         for c, rc in zip(value_cols, rv_cols):
             out[rc] = _full(len(df), rfills[c])
         out["__kind"] = np.int8(0)
+        out[_PART] = _hash_part(df[by].to_numpy(), num_partitions)
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
@@ -468,6 +674,7 @@ def asof_join(
         for c, rc in zip(value_cols, rv_cols):
             out[rc] = df[c].to_numpy()
         out["__kind"] = np.int8(1)
+        out[_PART] = _hash_part(df[by].to_numpy(), num_partitions)
         return out
 
     tagged = left.map_batches(tag_left, batch_format="pandas").union(
@@ -478,34 +685,43 @@ def asof_join(
 
     out_cols = [*left_cols, *(f"asof_{c}" for c in value_cols)]
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         is_r = g["__kind"].to_numpy() == 1
         lf = g[~is_r]
         if not len(lf):
             return pd.DataFrame({c: [] for c in out_cols})
-        rt = g[is_r].sort_values([ts_col, *rv_cols], kind="stable")
+        # joint key coding so both sides share segment ids
+        codes_all = pd.factorize(g[by], sort=True)[0]
+        lcode = codes_all[~is_r]
+        rt = g[is_r]
+        rcode = codes_all[is_r]
         out = {c: lf[c].to_numpy() for c in left_cols}
         if not len(rt):
-            # by-key with left rows but ZERO right rows: every left row is
-            # unmatched — emit dtype-correct defaults (np.where's eager
-            # vals[clip(pos,0,None)] would index position 0 of an empty
-            # array and crash)
             for c in value_cols:
                 out[f"asof_{c}"] = _full(len(lf), rfills[c])
             return pd.DataFrame(out)
-        lts = lf[ts_col].to_numpy()
+        # right side sorted ONCE by (key, ts, values) — the pinned
+        # last-wins tie order within each key slice
+        rt = rt.assign(__code=rcode).sort_values(
+            ["__code", ts_col, *rv_cols], kind="mergesort"
+        )
+        rcode_s = rt["__code"].to_numpy()
         rts = rt[ts_col].to_numpy()
+        seg_lo = np.searchsorted(rcode_s, lcode, side="left")
+        seg_hi = np.searchsorted(rcode_s, lcode, side="right")
+        lts = lf[ts_col].to_numpy()
         side = "left" if strict else "right"
-        pos = np.searchsorted(rts, lts, side=side) - 1
+        pos = _segmented_searchsorted(rts, seg_lo, seg_hi, lts, side) - 1
+        matched = pos >= seg_lo
         for c, rc in zip(value_cols, rv_cols):
             vals = rt[rc].to_numpy()
             picked = np.where(
-                pos >= 0, vals[np.clip(pos, 0, None)], rfills[c][0]
+                matched, vals[np.maximum(pos, 0)], rfills[c][0]
             )
             out[f"asof_{c}"] = np.asarray(picked)
         return pd.DataFrame(out)
 
-    return tagged.groupby(by).map_groups(per_key, batch_format="pandas")
+    return tagged.groupby(_PART).map_groups(per_part, batch_format="pandas")
 
 
 def range_join_count(
@@ -522,14 +738,14 @@ def range_join_count(
     number of points of the same ``by`` key with ``lo ≤ ts ≤ hi``.
 
     Partitioning assumption (documented per the custom-operator contract):
-    both sides co-partition on ``by`` with ONE groupby shuffle; within a
-    key the intervals are sorted by ``lo`` and points counted with two
-    vectorized ``searchsorted`` passes — O((I+P)·log I) per key,
-    overlapping intervals fully supported (each point may count toward
-    many intervals; the count per interval is #(ts ≥ lo) − #(ts > hi)
-    over the sorted point timestamps).  Output: all interval columns +
-    ``out_col``.
+    both sides co-partition on ``by`` with ONE hash-partition shuffle;
+    within a PARTITION the points sort once by (key, ts) and every
+    interval's count is two segmented binary searches over its key's
+    point slice — #(ts ≥ lo) − #(ts > hi), overlapping intervals fully
+    supported (each point may count toward many intervals).  No per-key
+    Python.  Output: all interval columns + ``out_col``.
     """
+    num_partitions = 32
 
     int_cols = list(intervals.schema().names)
 
@@ -572,6 +788,7 @@ def range_join_count(
         out = df[int_cols].copy()
         out["__pt"] = np.full(len(df), -1, dtype=np.int64)
         out["__kind"] = np.int8(0)
+        out[_PART] = _hash_part(df[by].to_numpy(), num_partitions)
         return out
 
     def tag_pt(df: pd.DataFrame) -> pd.DataFrame:
@@ -584,6 +801,7 @@ def range_join_count(
                 out[c] = np.full(len(df), v, dtype=dt)
         out["__pt"] = df[ts_col].to_numpy().astype(np.int64)
         out["__kind"] = np.int8(1)
+        out[_PART] = _hash_part(df[by].to_numpy(), num_partitions)
         return out
 
     tagged = intervals.map_batches(tag_int, batch_format="pandas").union(
@@ -592,24 +810,33 @@ def range_join_count(
         )
     )
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
         is_pt = g["__kind"].to_numpy() == 1
         iv = g[~is_pt]
         if not len(iv):
             return pd.DataFrame(
                 {**{c: [] for c in int_cols}, out_col: []}
             )
-        ts = np.sort(g["__pt"].to_numpy()[is_pt])
+        codes_all = pd.factorize(g[by], sort=True)[0]
+        icode = codes_all[~is_pt]
+        pcode = codes_all[is_pt]
+        pts = g["__pt"].to_numpy()[is_pt]
+        # points sorted once by (key, ts); per-interval slice bounds from
+        # the key codes, then two segmented binary searches
+        order = np.lexsort((pts, pcode))
+        pcode_s, pts_s = pcode[order], pts[order]
+        seg_lo = np.searchsorted(pcode_s, icode, side="left")
+        seg_hi = np.searchsorted(pcode_s, icode, side="right")
         lo = iv[lo_col].to_numpy().astype(np.int64)
         hi = iv[hi_col].to_numpy().astype(np.int64)
-        n = np.searchsorted(ts, hi, side="right") - np.searchsorted(
-            ts, lo, side="left"
-        )
+        n = _segmented_searchsorted(
+            pts_s, seg_lo, seg_hi, hi, "right"
+        ) - _segmented_searchsorted(pts_s, seg_lo, seg_hi, lo, "left")
         out = {c: iv[c].to_numpy() for c in int_cols}
         out[out_col] = n.astype(np.int64)
         return pd.DataFrame(out)
 
-    return tagged.groupby(by).map_groups(per_key, batch_format="pandas")
+    return tagged.groupby(_PART).map_groups(per_part, batch_format="pandas")
 
 
 def keep_first_per_bucket(
@@ -621,19 +848,27 @@ def keep_first_per_bucket(
 ) -> rd.Dataset:
     """Change-log compaction (A10 — ``utils/list_dict_utils.py:75-95``
     ``prune_change_logs``: keep the first entry per day bucket).  Output one
-    row per (user, day bucket): (user_id, bucket_s, first_event_id)."""
+    row per (user, day bucket): (user_id, bucket_s, first_event_id).
+
+    Partitioned-vectorized: hash-partition on the user key, then ONE
+    sort + ``drop_duplicates`` picks every (user, bucket)'s winner — no
+    per-bucket Python."""
+    num_partitions = 32
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         sec = df[ts_col].astype("int64") // 1_000_000
         df["bucket_start_s"] = (sec // bucket_s * bucket_s).astype(np.int64)
         df = df.sort_values([ts_col, "event_id"], kind="stable")
-        return df.drop_duplicates(subset=[user_col, "bucket_start_s"])[
+        df = df.drop_duplicates(subset=[user_col, "bucket_start_s"])[
             [user_col, "bucket_start_s", "event_id", ts_col]
         ]
+        df[_PART] = _hash_part(df[user_col].to_numpy(), num_partitions)
+        return df
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, "event_id"], kind="stable").head(1)
+    def pick_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"], kind="mergesort")
+        g = g.drop_duplicates(subset=[user_col, "bucket_start_s"], keep="first")
         return pd.DataFrame(
             {
                 user_col: g[user_col].to_numpy(),
@@ -645,8 +880,8 @@ def keep_first_per_bucket(
     return (
         events.select_columns([user_col, "event_id", ts_col])
         .map_batches(partial, batch_format="pandas")
-        .groupby([user_col, "bucket_start_s"])
-        .map_groups(pick, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(pick_part, batch_format="pandas")
     )
 
 
@@ -693,24 +928,34 @@ def last_per_key(
 ) -> rd.Dataset:
     """Latest row per key by (order_col desc, stable) — the reference's
     sort-desc + limit(1) pattern (S10/S11, ``databases/mongodb.py:51-57,
-    167-174``); per-key as-of endpoint of the change-log semantics (A9)."""
+    167-174``); per-key as-of endpoint of the change-log semantics (A9).
+
+    Partitioned-vectorized: local per-batch combiner, hash-partition
+    shuffle, then ONE sort + ``drop_duplicates(keep="last")`` picks every
+    key's winner — no per-key Python."""
+    num_partitions = 32
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_cols, kind="stable")
-        return g.tail(1)[[key, *order_cols, *value_cols]]
+    def pick_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        return g.drop_duplicates(subset=[key], keep="last")[
+            [key, *order_cols, *value_cols]
+        ]
 
     # local partial: keep only each batch's last row per key (combiner)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(order_cols, kind="stable")
-        return df.drop_duplicates(subset=[key], keep="last")[
+        df = df.drop_duplicates(subset=[key], keep="last")[
             [key, *order_cols, *value_cols]
         ]
+        df = df.copy()
+        df[_PART] = _hash_part(df[key].to_numpy(), num_partitions)
+        return df
 
     return (
         ds.select_columns([key, *order_cols, *value_cols])
         .map_batches(partial, batch_format="pandas")
-        .groupby(key)
-        .map_groups(pick, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(pick_part, batch_format="pandas")
     )

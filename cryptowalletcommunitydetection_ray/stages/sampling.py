@@ -181,17 +181,20 @@ def cap_per_key(
     giving a uniform "random but reproducible" cap (same property as
     ``consistent_sample``: partition- and rerun-invariant).
 
-    TWO-PHASE, one shuffle: each batch pre-trims to its local first-k per
-    key (a block contributes ≤ k rows per key it contains), then a single
-    key-shuffle merges the partials.  A hot key (a domain with 10^8 docs)
-    therefore arrives at its reduce group with ≤ k·num_blocks rows, not
-    10^8 — the skew defense.  Reference parity: the reference caps
-    crawler output per pair via its 50-page cap
-    (``services/crawlers/base_crawler.py:19-27``); this is the corpus-
-    side generalization.
+    TWO-PHASE, one hash-partition shuffle: each batch pre-trims to its
+    local first-k per key (a block contributes ≤ k rows per key it
+    contains), then the partition-level pass trims EVERY key of the
+    partition with one vectorized sort + grouped head — no per-key
+    Python.  A hot key (a domain with 10^8 docs) arrives at its reduce
+    partition with ≤ k·num_blocks rows, not 10^8 — the skew defense.
+    Reference parity: the reference caps crawler output per pair via its
+    50-page cap (``services/crawlers/base_crawler.py:19-27``); this is
+    the corpus-side generalization.
     """
     sort_cols = list(order_cols)
     hash_col = "__cap_h"
+    part_col = "__part"
+    num_partitions = 32
 
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -205,23 +208,37 @@ def cap_per_key(
     if salt is not None:
         sort_cols = [hash_col, *order_cols]
 
+    def _part_of(keys: np.ndarray) -> np.ndarray:
+        keys = np.asarray(keys)
+        if keys.dtype.kind in "iu":
+            u = keys.astype(np.uint64)
+        else:
+            u = hash64(keys.astype(object)).astype(np.uint64)
+        return (u % np.uint64(num_partitions)).astype(np.int32)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if salt is not None:
             df = add_hash(df)
-        return (
+        out = (
             df.sort_values([key_col, *sort_cols], kind="mergesort")
             .groupby(key_col, sort=False)
             .head(k)
         )
+        out = out.copy()
+        out[part_col] = _part_of(out[key_col].to_numpy())
+        return out
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(sort_cols, kind="mergesort").head(k)
-        if salt is not None:
-            g = g.drop(columns=[hash_col])
-        return g
+    def final_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.sort_values([key_col, *sort_cols], kind="mergesort")
+            .groupby(key_col, sort=False)
+            .head(k)
+        )
+        drop = [part_col] + ([hash_col] if salt is not None else [])
+        return g.drop(columns=drop)
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(key_col)
-        .map_groups(final, batch_format="pandas")
+        .groupby(part_col)
+        .map_groups(final_part, batch_format="pandas")
     )

@@ -12,6 +12,8 @@ import pandas as pd
 
 import ray.data as rd
 
+_PART = "__part"
+
 
 def quality_stats(
     docs: rd.Dataset, *, text_col: str = "text", id_col: str = "doc_id"
@@ -247,53 +249,83 @@ def inverted_index(
 ) -> rd.Dataset:
     """Posting lists: (token, df, postings ``list<int64>`` sorted asc).
 
-    One shuffle keyed by token; each batch pre-drops duplicate
-    occurrences (DISTINCT (token, doc) pairs), so within-doc repetition
-    never hits the wire.  Partitioning note for 100 TB: stopword-class
-    tokens produce giant postings — route through ``min_df``/stoplists or
-    cap postings per token before using this as a serving index; as a
-    contamination/dedup auxiliary the full lists are the point."""
+    ONE hash-partition shuffle keyed by token hash; each batch pre-drops
+    duplicate occurrences (DISTINCT (token, doc) pairs), so within-doc
+    repetition never hits the wire, and every token of a partition
+    collects in one vectorized call (sort + segment offsets → one Arrow
+    ListArray — no per-token Python).  Partitioning note for 100 TB:
+    stopword-class tokens produce giant postings — route through
+    ``min_df``/stoplists or cap postings per token before using this as a
+    serving index; as a contamination/dedup auxiliary the full lists are
+    the point."""
     import pyarrow as pa
 
+    from ..context import hash64
     from ..functions.textstats import WS_TOKEN_RE
 
-    def pairs(df: pd.DataFrame) -> pa.Table:
-        toks: list[str] = []
-        ids: list[int] = []
-        for i, t in zip(df[id_col], df[text_col]):
-            if not t:
-                continue
-            uniq = set(WS_TOKEN_RE.findall(t))
-            toks.extend(uniq)
-            ids.extend([int(i)] * len(uniq))
-        return pa.table(
-            {"token": pa.array(toks, pa.string()),
-             id_col: pa.array(ids, pa.int64())}
-        )
+    num_partitions = 32
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        posting = np.unique(g[id_col].to_numpy())
-        if len(posting) < min_df:
-            return pd.DataFrame(
-                {
-                    "token": pd.Series([], dtype=object),
-                    "df": pd.Series([], dtype=np.int64),
-                    "postings": pd.Series([], dtype=object),
-                }
-            )
-        return pd.DataFrame(
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        lists = [
+            list(set(WS_TOKEN_RE.findall(t))) if t else []
+            for t in df[text_col]
+        ]
+        lens = np.array([len(x) for x in lists], dtype=np.int64)
+        toks = np.array(
+            [tok for ls in lists for tok in ls], dtype=object
+        )
+        out = pd.DataFrame(
             {
-                "token": [g["token"].iloc[0]],
-                "df": np.array([len(posting)], dtype=np.int64),
-                "postings": [posting.astype(np.int64)],
+                "token": toks,
+                id_col: np.repeat(
+                    df[id_col].to_numpy().astype(np.int64), lens
+                ),
+            }
+        )
+        out[_PART] = (
+            hash64(toks).astype(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int32) if len(out) else np.array([], np.int32)
+        return out
+
+    def collect_part(g: pd.DataFrame) -> pa.Table:
+        g = g[["token", id_col]].drop_duplicates().sort_values(
+            ["token", id_col], kind="mergesort"
+        )
+        toks = g["token"].to_numpy()
+        starts = (
+            np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+            if len(g)
+            else np.empty(0, np.int64)
+        )
+        bounds = np.r_[starts, len(g)]
+        dfreq = np.diff(bounds)
+        keep = dfreq >= min_df
+        ks = starts[keep]
+        kept_lens = dfreq[keep]
+        # rebuild offsets over only the kept segments; rows of kept
+        # segments selected with one repeat+mask (no per-token loop)
+        offsets = np.r_[0, np.cumsum(kept_lens)].astype(np.int32)
+        row_seg = np.repeat(np.arange(len(starts)), dfreq)
+        idx = np.flatnonzero(keep[row_seg]) if len(g) else np.empty(0, np.int64)
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets),
+            pa.array(
+                g[id_col].to_numpy()[idx].astype(np.int64), pa.int64()
+            ),
+        )
+        return pa.table(
+            {
+                "token": pa.array(toks[ks], pa.string()),
+                "df": pa.array(kept_lens, pa.int64()),
+                "postings": la,
             }
         )
 
     return (
         docs.select_columns([id_col, text_col])
         .map_batches(pairs, batch_format="pandas")
-        .groupby("token")
-        .map_groups(collect, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(collect_part, batch_format="pandas")
     )
 
 
