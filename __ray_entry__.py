@@ -152,6 +152,19 @@ def _copurchase_graph(sf_dir: str) -> str:
 
 
 
+def _mod_eq_filter(col: str, m: int):
+    """Arrow-batch filter keeping rows where ``col % m == 0`` (zero-copy
+    selection; used to carve deterministic 'seen'/'bench' subsets the
+    DuckDB oracle states with the same modulus)."""
+    import pyarrow.compute as pc
+
+    def f(t):
+        q = pc.divide(t[col], m)  # int64 division truncates (ids are >= 0)
+        return t.filter(pc.equal(pc.subtract(t[col], pc.multiply(q, m)), 0))
+
+    return f
+
+
 def _scale_int(t, col, out_col, factor):
     """DOUBLE → scaled BIGINT fixed-point (hash-exact across engines: the
     true value × factor is an integer, float error ≪ 0.5)."""
@@ -837,6 +850,64 @@ def _q_bpe_token_counts(sf_dir):
     return token_counts(_t(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_cap_per_domain(sf_dir):
+    """Per-domain document cap (the corpus-side generalization of the
+    reference's 50-page crawl cap, ``services/crawlers/base_crawler.py:
+    19-27``): keep the first 10 docs per source by doc_id — deterministic,
+    so the oracle is a plain row_number() window."""
+    from cryptowalletcommunitydetection_ray.stages.sampling import cap_per_key
+
+    docs = _t(sf_dir, "documents", ["doc_id", "source"])
+    return cap_per_key(docs, "source", 10, ["doc_id"]).select_columns(
+        ["doc_id", "source"]
+    )
+
+
+def _q_token_topk(sf_dir):
+    from cryptowalletcommunitydetection_ray.stages.text import token_topk
+
+    return token_topk(_t(sf_dir, "documents", ["text"]), k=20)
+
+
+def _q_bloom_screen_seen(sf_dir):
+    """Bloom screen vs a previous-crawl seen set (doc_id % 7 == 0): the
+    distributed mergeable fold builds the filter, the broadcast probe
+    flags the full corpus, and the query returns (doc_id, maybe_seen)
+    restricted to the truly-seen keys — the filter's hard guarantee (NO
+    false negatives) makes every row deterministically TRUE, which the
+    SQL oracle states directly.  The false-positive rate (not
+    SQL-expressible — it depends on the engine's salted hash) stays
+    pinned by tests/test_bloom.py at ≤3× theory."""
+    from cryptowalletcommunitydetection_ray.stages.bloom import (
+        bloom_screen,
+        build_bloom_distributed,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    seen = docs.map_batches(_mod_eq_filter("doc_id", 7), batch_format="pyarrow")
+    bloom = build_bloom_distributed(seen, "doc_id", m_bits=1 << 16)
+    flagged = bloom_screen(docs, bloom, "doc_id", drop_seen=False)
+    return flagged.map_batches(
+        _mod_eq_filter("doc_id", 7), batch_format="pyarrow"
+    ).select_columns(["doc_id", "maybe_seen"])
+
+
+def _q_contamination_screen(sf_dir):
+    """Benchmark-contamination screen: n_hits = distinct word 8-grams of
+    each doc found anywhere in the bench set (docs with doc_id % 97 == 0,
+    standing in for a small eval suite).  Bench grams broadcast once;
+    corpus streams zero-shuffle."""
+    from cryptowalletcommunitydetection_ray.stages.text import (
+        contamination_screen,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        _mod_eq_filter("doc_id", 97), batch_format="pyarrow"
+    )
+    return contamination_screen(docs, bench, n=8)
+
+
 def _q_quantiles_event_value(sf_dir):
     """Histogram-sketch quantiles of events.value — the estimator is
     pinned (right-edge of the first bin reaching q·n over 1024 fixed
@@ -1137,6 +1208,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_communities_pages": _q_host_communities_pages,
         "top_communities": _q_top_communities,
         "degree_census": _q_degree_census,
+        # corpus curation (webtext pipeline ops)
+        "cap_per_domain": _q_cap_per_domain,
+        "token_topk": _q_token_topk,
+        "bloom_screen_seen": _q_bloom_screen_seen,
+        "contamination_screen": _q_contamination_screen,
         # sketches (deterministic estimates)
         "approx_distinct_users": _q_approx_distinct_users,
         "quantiles_event_value": _q_quantiles_event_value,
@@ -1565,6 +1641,56 @@ def oracle_sql() -> dict[str, str]:
             FROM nb
         """,
         "approx_distinct_users": _HLL_SQL,
+        # corpus curation ops
+        "cap_per_domain": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source
+                                       ORDER BY doc_id) <= 10
+        """,
+        "token_topk": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           t -> t <> '')) AS token
+                FROM documents
+            )
+            SELECT token, count(*) AS n FROM toks GROUP BY token
+            ORDER BY n DESC, token LIMIT 20
+        """,
+        # the Bloom filter's hard guarantee — NO false negatives — stated
+        # directly: every truly-seen key must come back flagged.  The FP
+        # rate depends on the engine's salted hash (not SQL-expressible)
+        # and stays pinned by tests/test_bloom.py.
+        "bloom_screen_seen": """
+            SELECT doc_id, CAST(TRUE AS BOOLEAN) AS maybe_seen
+            FROM documents WHERE doc_id % 7 = 0
+        """,
+        "contamination_screen": r"""
+            WITH arr AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> t <> '') AS a
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(a) >= 8
+                            THEN list_distinct(list_transform(
+                                range(1, len(a) - 6),
+                                i -> array_to_string(a[i:i+7], ' ')))
+                            ELSE CAST([] AS VARCHAR[]) END AS gs
+                FROM arr
+            ), bg AS (
+                SELECT DISTINCT unnest(gs) AS g FROM grams
+                WHERE doc_id % 97 = 0
+            ), dg AS (
+                SELECT doc_id, unnest(gs) AS g FROM grams
+            ), hits AS (
+                SELECT dg.doc_id, count(*) AS n_hits
+                FROM dg JOIN bg USING (g) GROUP BY dg.doc_id
+            )
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "filter_events": """
             SELECT event_id, user_id, value FROM events
             WHERE event_type = 'click' AND value > 100.0
