@@ -98,14 +98,20 @@ def run_bench() -> dict:
     pages = rd.read_parquet(corpus)
     meta = timed("build_graph", lambda: build_graph(pages, graph_dir, P))
 
-    # per-kernel pool sizing: pools SCALE with the cluster — exactly what
-    # a 4×-bigger real cluster does (more shards, each holding less of the
-    # graph).  Clamped to a power-of-two divisor of SP=128 in [4, 16]: at
-    # the 800 k-page scaling corpus per-shard compute dominates the
-    # KP²-message cost well past 16 shards.  Override: GRAFT_KERNEL_POOL.
-    KP = int(os.environ.get("GRAFT_KERNEL_POOL") or 0) or max(
-        4, min(16, 1 << (num_cpus.bit_length() - 1))
-    )
+    # per-kernel pool sizing.  The HEADLINE config is PINNED at KP=8
+    # regardless of num_cpus: at sf0.1's small graph (~800 k edges,
+    # single-digit-ms shard compute) a bigger pool only adds KP² message
+    # slots of pure superstep latency, which confounded the r2→r3 BENCH
+    # comparison (pagerank 1.4 s → 6.1 s with zero engine change).  The
+    # --scaling children instead SCALE the pool with the cpu level
+    # (GRAFT_SCALE_POOL=1) — exactly what a 4×-bigger real cluster does —
+    # clamped to a power-of-two divisor of SP=128 in [4, 16].  Override:
+    # GRAFT_KERNEL_POOL.
+    if os.environ.get("GRAFT_SCALE_POOL"):
+        default_kp = max(4, min(16, 1 << (num_cpus.bit_length() - 1)))
+    else:
+        default_kp = 8
+    KP = int(os.environ.get("GRAFT_KERNEL_POOL") or 0) or default_kp
     pr_result = {}
 
     def run_pr():
@@ -138,6 +144,7 @@ def run_bench() -> dict:
         "q1_pricing",
         "hourly_windows",
         "user_event_tags",
+        "sessionize_users",
         "minhash_dedup",
         "ann_topk",
         "embed_neardup",
@@ -188,6 +195,11 @@ def run_bench() -> dict:
         "num_vertices": meta["num_vertices"],
         "supersteps": supersteps,
         "pagerank_edges_per_sec": pr_edges_per_sec,
+        # decomposed pagerank stage: pool spawn + artifact load vs the
+        # superstep loop — makes cross-round comparison insensitive to
+        # pool-spawn latency swings on the virtualized host
+        "pagerank_setup_sec": pr_result.get("setup_seconds"),
+        "pagerank_loop_sec": pr_result.get("loop_seconds"),
         "P": P,
         "kernel_pool": KP,
         "calib_sec": calib_sec,
@@ -408,6 +420,7 @@ def run_scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_PAGES=os.environ.get("GRAFT_SCALING_PAGES", "800000"),
+            GRAFT_SCALE_POOL="1",  # pools scale with the level (headline pins KP=8)
         )
         for attempt in (1, 2):
             res = subprocess.run(
