@@ -48,34 +48,67 @@ def _collect_communities(
     deposit members (e.g. a pure src-src cycle) never emits a row; pass
     ``False`` to keep every component."""
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        is_user = g["is_user"].to_numpy(dtype=bool)
+    # partitioned-vectorized: labels hash-route to 32 partitions and EVERY
+    # community of a partition collects in one call — sort by (label, url),
+    # per-label user/depo counts via bincount over segment ids, member
+    # ListArrays built straight from the cumulative-count offsets (the
+    # masked rows stay url-sorted within each label).  No per-label Python.
+    import pyarrow as pa
+
+    from ..functions.segments import segment_bounds
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["label", "url", "is_user"]].copy()
+        out["__part"] = (
+            df["label"].to_numpy().astype(np.uint64) % np.uint64(32)
+        ).astype(np.int32)
+        return out
+
+    def collect_part(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["label", "url"], kind="mergesort")
+        labels = g["label"].to_numpy()
         urls = g["url"].to_numpy()
-        users = sorted(urls[is_user].tolist())
-        depos = sorted(urls[~is_user].tolist())
-        if require_both_sides and (not users or not depos):
-            return pd.DataFrame(
-                {
-                    "_id": pd.Series([], dtype=np.int64),
-                    "user_wallets": pd.Series([], dtype=object),
-                    "deposit_wallets": pd.Series([], dtype=object),
-                    "num_user": pd.Series([], dtype=np.int64),
-                    "num_depo": pd.Series([], dtype=np.int64),
-                    "chain": pd.Series([], dtype=object),
-                }
-            )
-        return pd.DataFrame(
+        is_user = g["is_user"].to_numpy(dtype=bool)
+        bounds = segment_bounds(labels)
+        lens = np.diff(bounds)
+        seg_of_row = np.repeat(np.arange(len(lens)), lens)
+        num_user = np.bincount(
+            seg_of_row[is_user], minlength=len(lens)
+        ).astype(np.int64)
+        num_depo = lens - num_user
+        keep = (
+            (num_user > 0) & (num_depo > 0)
+            if require_both_sides  # reference inner-join semantics
+            else np.ones(len(lens), dtype=bool)
+        )
+        row_kept = keep[seg_of_row] if len(g) else np.zeros(0, bool)
+        u_vals = urls[row_kept & is_user]
+        d_vals = urls[row_kept & ~is_user]
+        u_off = np.r_[0, np.cumsum(num_user[keep])].astype(np.int32)
+        d_off = np.r_[0, np.cumsum(num_depo[keep])].astype(np.int32)
+        n_out = int(keep.sum())
+        return pa.table(
             {
-                "_id": [np.int64(g["label"].iloc[0])],
-                "user_wallets": [users],
-                "deposit_wallets": [depos],
-                "num_user": [len(users)],
-                "num_depo": [len(depos)],
-                "chain": [chain],
+                "_id": pa.array(
+                    labels[bounds[:-1]][keep].astype(np.int64), pa.int64()
+                ),
+                "user_wallets": pa.ListArray.from_arrays(
+                    pa.array(u_off), pa.array(u_vals, pa.string())
+                ),
+                "deposit_wallets": pa.ListArray.from_arrays(
+                    pa.array(d_off), pa.array(d_vals, pa.string())
+                ),
+                "num_user": pa.array(num_user[keep], pa.int64()),
+                "num_depo": pa.array(num_depo[keep], pa.int64()),
+                "chain": pa.array([chain] * n_out, pa.string()),
             }
         )
 
-    return tagged.groupby("label").map_groups(collect, batch_format="pandas")
+    return (
+        tagged.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(collect_part, batch_format="pandas")
+    )
 
 
 def community_members_from_pool(
@@ -204,13 +237,36 @@ def community_edges(graph_dir: str, labels: rd.Dataset) -> rd.Dataset:
     lab = rename_cols(labels, {"vid": "src"})
     tagged = edges.join(lab, "inner", P, on=("src",))
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = sorted(zip(g["src_url"].tolist(), g["dst_url"].tolist()))
+    from ..functions.segments import segment_bounds
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["label", "src_url", "dst_url"]].copy()
+        out["__part"] = (
+            df["label"].to_numpy().astype(np.uint64) % np.uint64(32)
+        ).astype(np.int32)
+        return out
+
+    def collect_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per PARTITION (all labels at once): sort gives each
+        # label's pairs in sorted order; cell slicing from segment bounds
+        g = g.sort_values(["label", "src_url", "dst_url"], kind="mergesort")
+        labels = g["label"].to_numpy()
+        bounds = segment_bounds(labels)
+        pairs = list(zip(g["src_url"].tolist(), g["dst_url"].tolist()))
         return pd.DataFrame(
-            {"_id": [np.int64(g["label"].iloc[0])], "edges": [pairs]}
+            {
+                "_id": labels[bounds[:-1]].astype(np.int64),
+                "edges": [
+                    pairs[lo:hi] for lo, hi in zip(bounds[:-1], bounds[1:])
+                ],
+            }
         )
 
-    return tagged.groupby("label").map_groups(collect, batch_format="pandas")
+    return (
+        tagged.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(collect_part, batch_format="pandas")
+    )
 
 
 def detect_communities(

@@ -446,21 +446,49 @@ def lsh_neardup_pairs_cosine(
                 f"raise max_bucket or n_bits"
             )
 
-    def within(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).head(max_bucket)  # skew guard
+    # partitioned-vectorized pairing: hash-route buckets to 32 partitions
+    # and build EVERY bucket's pairs in one segment-arithmetic pass — no
+    # per-bucket Python (a web-scale run has millions of tiny buckets)
+    from ..functions.segments import (
+        segment_bounds,
+        segment_pair_indices,
+        segment_rank,
+    )
+
+    _empty = {
+        "a_id": np.array([], np.int64),
+        "b_id": np.array([], np.int64),
+        "sim_e6": np.array([], np.int64),
+    }
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__part"] = (
+            df["bucket"].to_numpy().astype(np.uint64) % np.uint64(32)
+        ).astype(np.int32)
+        return df
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", id_col], kind="mergesort")
+        buckets = g["bucket"].to_numpy()
+        # skew guard: keep each bucket's max_bucket smallest ids
+        rank = segment_rank(segment_bounds(buckets))
+        if (rank >= max_bucket).any():
+            g = g[rank < max_bucket]
+            buckets = g["bucket"].to_numpy()
         if len(g) < 2:
-            return pd.DataFrame(
-                {
-                    "a_id": np.array([], np.int64),
-                    "b_id": np.array([], np.int64),
-                    "sim_e6": np.array([], np.int64),
-                }
-            )
+            return pd.DataFrame(_empty)
         ids = g[id_col].to_numpy()
         mat = np.stack(g[emb_col].to_numpy())
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        s = sims[ii, jj]
+        ii, jj = segment_pair_indices(segment_bounds(buckets))
+        if not len(ii):
+            return pd.DataFrame(_empty)
+        # chunked pair dots: bounds the pairs×dim temporary
+        s = np.empty(len(ii), dtype=np.float64)
+        step = 1 << 20
+        for o in range(0, len(ii), step):
+            sl = slice(o, o + step)
+            s[sl] = np.einsum("ij,ij->i", mat[ii[sl]], mat[jj[sl]])
         keep = s >= threshold
         return pd.DataFrame(
             {
@@ -470,7 +498,11 @@ def lsh_neardup_pairs_cosine(
             }
         )
 
-    pairs = bucketed.groupby("bucket").map_groups(within, batch_format="pandas")
+    pairs = (
+        bucketed.map_batches(add_part, batch_format="pandas")
+        .groupby("__part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
     from .dedup import exact_dedup
 
     return exact_dedup(pairs, ["a_id", "b_id"], num_partitions=16)

@@ -711,19 +711,46 @@ def simhash_dedup_pairs(
                 f"raise max_bucket or run exact dedup first"
             )
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # skew guard first (smallest ids win, deterministic), then all-pairs
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col).head(
-            max_bucket
+    # partitioned-vectorized pairing: hash-route band buckets to 32
+    # partitions, then ONE segment-arithmetic pass builds every bucket's
+    # pairs (per-band_key Python groups are the map_groups overhead trap —
+    # bands × corpus tiny buckets at web scale)
+    from ..functions.segments import (
+        segment_bounds,
+        segment_pair_indices,
+        segment_rank,
+    )
+
+    _empty = {
+        "a": np.array([], np.int64),
+        "b": np.array([], np.int64),
+        "hamming": np.array([], np.int64),
+    }
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_PART] = (
+            df["band_key"].to_numpy().astype(np.uint64) % np.uint64(32)
+        ).astype(np.int32)
+        return df
+
+    def band_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["band_key", id_col]).sort_values(
+            ["band_key", id_col], kind="mergesort"
         )
+        keys = g["band_key"].to_numpy()
+        # skew guard: each bucket keeps its max_bucket smallest ids
+        rank = segment_rank(segment_bounds(keys))
+        if (rank >= max_bucket).any():
+            g = g[rank < max_bucket]
+            keys = g["band_key"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame(_empty)
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": np.array([], np.int64), "b": np.array([], np.int64),
-                 "hamming": np.array([], np.int64)}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
+        ii, jj = segment_pair_indices(segment_bounds(keys))
+        if not len(ii):
+            return pd.DataFrame(_empty)
         x = hs[ii] ^ hs[jj]
         # vectorized popcount: 8 bytes per word -> unpackbits -> row sums
         ham = (
@@ -736,8 +763,10 @@ def simhash_dedup_pairs(
             {"a": ids[ii][keep], "b": ids[jj][keep], "hamming": ham[keep]}
         )
 
-    allpairs = exploded.groupby("band_key").map_groups(
-        band_pairs, batch_format="pandas"
+    allpairs = (
+        exploded.map_batches(add_part, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(band_pairs_part, batch_format="pandas")
     )
     return exact_dedup(allpairs, ["a", "b"], num_partitions=16)
 
