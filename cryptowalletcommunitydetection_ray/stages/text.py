@@ -329,6 +329,40 @@ def inverted_index(
     )
 
 
+def _batch_grams(texts: pd.Series, n: int):
+    """Word n-grams for a whole batch in one Arrow-native pass.
+
+    Tokens come from pandas' C-level ``str.split`` (whitespace — identical
+    to ``WS_TOKEN_RE.findall``); every doc's window start positions are
+    derived with segment arithmetic over the flattened token array, and
+    the gram STRINGS are built by ONE ``binary_join_element_wise`` over n
+    shifted takes — no per-doc or per-gram Python string work.  Returns
+    ``(doc_index_per_gram: int64[], grams: pa.StringArray)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = texts.fillna("").str.split()
+    lens = toks.str.len().to_numpy().astype(np.int64)
+    n_grams = np.maximum(lens - n + 1, 0)
+    g_total = int(n_grams.sum())
+    if g_total == 0:
+        return np.empty(0, np.int64), pa.array([], pa.string())
+    flat = pa.array(
+        [t for lst in toks for t in lst], pa.string()
+    )  # pointer-level flatten; the string bytes stay in one Arrow buffer
+    doc_starts = np.r_[0, np.cumsum(lens)][:-1]
+    doc_of_gram = np.repeat(np.arange(len(lens), dtype=np.int64), n_grams)
+    gram_starts = np.r_[0, np.cumsum(n_grams)][:-1]
+    pos = (
+        np.arange(g_total, dtype=np.int64)
+        - gram_starts[doc_of_gram]
+        + doc_starts[doc_of_gram]
+    )
+    parts = [pc.take(flat, pa.array(pos + k)) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_of_gram, grams
+
+
 def contamination_screen(
     docs: rd.Dataset,
     bench: rd.Dataset,
@@ -344,37 +378,50 @@ def contamination_screen(
     The benchmark side is SMALL by construction (eval suites are MBs) —
     its distinct n-gram set is collected once on the driver and broadcast
     via ``ray.put``; every corpus task reads the same object-store copy,
-    so the corpus side streams with zero shuffle.  Grams are matched as
-    strings (exact, SQL-reproducible); a 100 TB deployment would hash
-    them to uint64 and use sorted-array ``searchsorted`` membership
-    (collision odds ~q²/2⁶⁵) — the broadcast/stream shape is identical."""
+    so the corpus side streams with zero shuffle.  Per batch the corpus
+    side builds all grams Arrow-natively (``_batch_grams``) and membership
+    is one C-level ``pc.is_in`` against the broadcast value set; only the
+    (rare) matches hit a pandas dedup for the per-doc DISTINCT count.
+    Grams are matched as strings (exact, SQL-reproducible); a 100 TB
+    deployment would hash them to uint64 and use sorted-array
+    ``searchsorted`` membership (collision odds ~q²/2⁶⁵) — the
+    broadcast/stream shape is identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     import ray
-
-    from ..functions.textstats import WS_TOKEN_RE
-
-    def grams_of(text: str) -> set[str]:
-        toks = WS_TOKEN_RE.findall(text) if text else []
-        return {
-            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-        }
 
     bench_grams: set[str] = set()
     for b in bench.select_columns([text_col]).iter_batches(
         batch_format="pandas", batch_size=1024
     ):
-        for t in b[text_col]:
-            bench_grams |= grams_of(t)
-    ref = ray.put(bench_grams)
+        _, grams = _batch_grams(b[text_col], n)
+        bench_grams.update(grams.to_pylist())
+    ref = ray.put(pa.array(sorted(bench_grams), pa.string()))
 
     class Screen:
         def __init__(self):
-            self.grams: set[str] = ray.get(ref)
+            self.gram_set: pa.Array = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            hits = np.array(
-                [len(grams_of(t) & self.grams) for t in df[text_col]],
-                dtype=np.int64,
-            )
+            doc_of, grams = _batch_grams(df[text_col], n)
+            hits = np.zeros(len(df), dtype=np.int64)
+            if len(grams) and len(self.gram_set):
+                m = pc.is_in(grams, value_set=self.gram_set).to_numpy(
+                    zero_copy_only=False
+                )
+                if m.any():
+                    matched = pd.DataFrame(
+                        {
+                            "d": doc_of[m],
+                            "g": pc.filter(grams, pa.array(m)).to_pandas(),
+                        }
+                    ).drop_duplicates()
+                    np.add.at(
+                        hits,
+                        matched["d"].to_numpy(),
+                        np.ones(len(matched), dtype=np.int64),
+                    )
             return pd.DataFrame(
                 {id_col: df[id_col].to_numpy(), "n_hits": hits}
             )
