@@ -202,13 +202,12 @@ def token_topk(
 
     from ray.data.aggregate import Sum
 
-    from ..functions.textstats import WS_TOKEN_RE
-
     def partial_counts(df: pd.DataFrame) -> pa.Table:
-        toks: list[str] = []
-        for t in df[text_col]:
-            if t:
-                toks.extend(WS_TOKEN_RE.findall(t))
+        # C-level whitespace split (≡ WS_TOKEN_RE.findall); the flatten is
+        # a pointer-level comprehension, the counting one np.unique
+        toks = [
+            t for ls in df[text_col].fillna("").str.split() for t in ls
+        ]
         if not toks:
             return pa.table(
                 {"token": pa.array([], pa.string()),
@@ -261,16 +260,15 @@ def inverted_index(
     import pyarrow as pa
 
     from ..context import hash64
-    from ..functions.textstats import WS_TOKEN_RE
 
     num_partitions = 32
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        lists = [
-            list(set(WS_TOKEN_RE.findall(t))) if t else []
-            for t in df[text_col]
-        ]
-        lens = np.array([len(x) for x in lists], dtype=np.int64)
+        # C-level whitespace split (≡ WS_TOKEN_RE.findall), then ONE
+        # hash-based drop_duplicates over the flat (doc, token) stream
+        # replaces the per-doc set() builds
+        lists = df[text_col].fillna("").str.split()
+        lens = lists.str.len().to_numpy().astype(np.int64)
         toks = np.array(
             [tok for ls in lists for tok in ls], dtype=object
         )
@@ -281,9 +279,10 @@ def inverted_index(
                     df[id_col].to_numpy().astype(np.int64), lens
                 ),
             }
-        )
+        ).drop_duplicates()
+        t = out["token"].to_numpy()
         out[_PART] = (
-            hash64(toks).astype(np.uint64) % np.uint64(num_partitions)
+            hash64(t).astype(np.uint64) % np.uint64(num_partitions)
         ).astype(np.int32) if len(out) else np.array([], np.int32)
         return out
 
