@@ -20,10 +20,13 @@ link-target url/host; the pipeline itself is input-agnostic: any raw edge
 Dataset works (pages outlinks via ``extract_edges``, or a wallet-pairs CSV
 via ``edges_from_pairs``).
 
-Scale notes: member collection is a single ``groupby(label)`` shuffle of
-the (small) vertex table, not of the edge table; the edge-list variant
-reshuffles edges once and is optional.  ``top_communities`` re-expresses the
-reference's Mongo group query + sort (``databases/mongodb.py:259-275``).
+Scale notes: member collection is a single hash-partition shuffle of the
+(small) vertex table, not of the edge table — labels route to 32
+partitions and EVERY community of a partition collects in one vectorized
+call (segment offsets → Arrow ListArrays, no per-label Python); the
+edge-list variant reshuffles edges once and is optional.
+``top_communities`` re-expresses the reference's Mongo group query + sort
+(``databases/mongodb.py:259-275``).
 """
 
 from __future__ import annotations
