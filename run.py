@@ -12,6 +12,9 @@
                              [--groups-graph /tmp/dupg]
     python run.py screen     --docs DOCS.parquet [--cap-per-domain K]
                              [--seen SEEN.parquet [--seen-key COL]] [--out DIR]
+    python run.py tokens     --docs DOCS.parquet [--topk K] [--out DIR]
+    python run.py contamination --docs DOCS.parquet --bench BENCH.parquet
+                             [--ngram N] [--out DIR]
 
 Owns its Ray session (scripts and CLIs only — library code never calls
 ``ray.init``).
@@ -74,6 +77,22 @@ def main(argv=None):
     p.add_argument("--seen-key", default=None,
                    help="key column in --seen (default: --key-col)")
     p.add_argument("--out", default=None, help="write survivors parquet here")
+
+    p = sub.add_parser("tokens", help="exact corpus-wide top-k tokens")
+    p.add_argument("--docs", required=True, help="parquet with a text column")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--topk", type=int, default=20)
+    p.add_argument("--out", default=None, help="write (token, n) parquet here")
+
+    p = sub.add_parser(
+        "contamination",
+        help="benchmark-contamination screen: distinct shared n-grams per doc",
+    )
+    p.add_argument("--docs", required=True, help="parquet with doc_id, text")
+    p.add_argument("--bench", required=True,
+                   help="small benchmark parquet with a text column")
+    p.add_argument("--ngram", type=int, default=8)
+    p.add_argument("--out", default=None, help="write (doc_id, n_hits) here")
 
     args = ap.parse_args(argv)
 
@@ -207,6 +226,27 @@ def main(argv=None):
             )
             metrics["cap_per_domain"] = args.cap_per_domain
         result_ds = docs
+
+    elif args.cmd == "tokens":
+        import ray.data as rd
+
+        from cryptowalletcommunitydetection_ray.stages.text import token_topk
+
+        docs = rd.read_parquet(args.docs, columns=[args.text_col])
+        result_ds = token_topk(docs, k=args.topk, text_col=args.text_col)
+        metrics = {"algorithm": "token_topk", "k": args.topk}
+
+    elif args.cmd == "contamination":
+        import ray.data as rd
+
+        from cryptowalletcommunitydetection_ray.stages.text import (
+            contamination_screen,
+        )
+
+        docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+        bench = rd.read_parquet(args.bench, columns=["text"])
+        result_ds = contamination_screen(docs, bench, n=args.ngram)
+        metrics = {"algorithm": "contamination_screen", "ngram": args.ngram}
 
     if result_ds is not None and getattr(args, "out", None):
         result_ds.write_parquet(args.out)

@@ -50,6 +50,34 @@ out["_survivor_check"] = {
     "seen_leaked": int(surv["doc_id"].isin(docs.head(10)["doc_id"]).sum()),
     "max_per_lang": int(surv.groupby("lang").size().max()),
 }
+out["tokens"] = cap(["tokens", "--docs", f"{base}/docs.parquet",
+                     "--topk", "5", "--out", f"{base}/toks"])
+toks = pd.read_parquet(f"{base}/toks")
+want = (
+    docs["text"].str.split().explode().value_counts()
+    .rename_axis("token").reset_index(name="n")
+    .sort_values(["n", "token"], ascending=[False, True]).head(5)
+)
+out["_tokens_check"] = {
+    "rows": int(len(toks)),
+    "match": bool(
+        (toks.sort_values(["n", "token"], ascending=[False, True])
+             .reset_index(drop=True)[["token", "n"]]
+         == want.reset_index(drop=True)[["token", "n"]]).all().all()
+    ),
+}
+docs.head(5)[["text"]].to_parquet(f"{base}/bench.parquet")
+out["contamination"] = cap(["contamination", "--docs", f"{base}/docs.parquet",
+                            "--bench", f"{base}/bench.parquet",
+                            "--ngram", "8", "--out", f"{base}/contam"])
+con = pd.read_parquet(f"{base}/contam").set_index("doc_id")
+out["_contam_check"] = {
+    "rows": int(len(con)),
+    # the bench docs themselves must self-hit (every 8-gram is shared)
+    "bench_self_hits_positive": bool(
+        (con.loc[docs.head(5)["doc_id"], "n_hits"] > 0).all()
+    ),
+}
 print("CLI_RESULT " + json.dumps(out))
 """
 
@@ -84,3 +112,7 @@ def test_cli_end_to_end():
     assert chk["seen_leaked"] == 0
     assert chk["max_per_lang"] <= 3
     assert 0 < chk["rows"] < 500
+
+    assert out["_tokens_check"] == {"rows": 5, "match": True}
+    assert out["_contam_check"]["rows"] == 500
+    assert out["_contam_check"]["bench_self_hits_positive"]
