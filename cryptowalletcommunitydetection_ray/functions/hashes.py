@@ -68,6 +68,34 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return prods.min(axis=1)
 
 
+def minhash_signatures_batch(
+    shingle_list: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signatures for a whole batch — identical
+    math to ``minhash_signature`` per doc, but one flat pass per
+    permutation: the doc minima come from ``np.minimum.reduceat`` over the
+    concatenated shingle stream (64 whole-array passes instead of n_docs
+    tiny matmuls; duplicates need no dedup — min is idempotent).  Empty
+    docs get the all-max sentinel row, matching the per-doc function."""
+    n_docs, n_perm = len(shingle_list), len(a)
+    out = np.full((n_docs, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    lens = np.array([len(s) for s in shingle_list], dtype=np.int64)
+    if not lens.sum():
+        return out
+    flat = np.concatenate([s for s in shingle_list if len(s)]).astype(
+        np.uint64
+    )
+    nonempty = lens > 0
+    starts = np.r_[0, np.cumsum(lens[nonempty])][:-1]
+    with np.errstate(over="ignore"):
+        for i in range(n_perm):
+            prods = flat * a[i] + b[i]
+            out[nonempty, i] = np.minimum.reduceat(prods, starts)
+    return out
+
+
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 increment
 
 

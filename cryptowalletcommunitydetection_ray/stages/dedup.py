@@ -192,16 +192,14 @@ class MinHasher:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         from ..functions.hashes import (
             band_keys_matrix,
-            minhash_signature,
+            minhash_signatures_batch,
             shingle_hashes_batch,
         )
 
         shingles = shingle_hashes_batch(
             df[self.text_col].tolist(), self.shingle_k
         )
-        sigs = np.stack(
-            [minhash_signature(sh, self.a, self.b) for sh in shingles]
-        )
+        sigs = minhash_signatures_batch(shingles, self.a, self.b)
         bk = band_keys_matrix(sigs, self.bands)  # (n, bands)
         n = len(df)
         ids = np.repeat(df[self.id_col].to_numpy(), self.bands)

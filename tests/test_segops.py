@@ -95,6 +95,26 @@ def test_segment_pair_indices_matches_triu():
         np.testing.assert_array_equal(rank, ref_rank)
 
 
+def test_minhash_signatures_batch_matches_per_doc():
+    from cryptowalletcommunitydetection_ray.functions.hashes import (
+        minhash_params,
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    a, b = minhash_params(16)
+    rng = np.random.default_rng(11)
+    docs = [
+        rng.integers(0, 2**63, rng.integers(0, 30)).astype(np.uint64)
+        for _ in range(25)
+    ]
+    docs[3] = np.empty(0, np.uint64)  # empty doc → all-max sentinel row
+    got = minhash_signatures_batch(docs, a, b)
+    want = np.stack([minhash_signature(d, a, b) for d in docs])
+    np.testing.assert_array_equal(got, want)
+    assert minhash_signatures_batch([], a, b).shape == (0, 16)
+
+
 def test_hash_part_in_range_and_deterministic():
     for vals in (
         np.arange(-4, 100),
