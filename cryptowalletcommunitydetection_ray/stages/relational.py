@@ -43,6 +43,32 @@ def _hash_part(vals: np.ndarray, num_partitions: int) -> np.ndarray:
     return (u % np.uint64(num_partitions)).astype(np.int32)
 
 
+_PART_BYTES = 1 << 28  # target input bytes per hash-route partition task
+
+
+def _resolve_partitions(
+    ds: rd.Dataset, num_partitions: "int | None", *, floor: int = 32, cap: int = 4096
+) -> int:
+    """Partition count for the ``__part`` hash route.  An explicit value
+    wins.  ``None`` scales with input size when read metadata makes the
+    byte count knowable WITHOUT executing the plan (≈256 MiB of input per
+    partition, clamped to [floor, cap]); un-metadata'd inputs fall back
+    to ``floor`` — each reduce task then holds ~1/floor of the table, so
+    callers shuffling huge derived datasets should pass ``num_partitions``
+    explicitly.  (ADVICE r4: a hardcoded 32 capped reduce parallelism and
+    per-task memory at web scale.)"""
+    if num_partitions is not None:
+        return int(num_partitions)
+    size = None
+    try:
+        size = ds._logical_plan.dag.infer_metadata().size_bytes
+    except Exception:
+        size = None
+    if size is None:
+        return floor
+    return int(min(cap, max(floor, -(-size // _PART_BYTES))))
+
+
 def _seg_starts(sorted_keys: np.ndarray) -> np.ndarray:
     """Per-row start index of the row's key segment in a key-sorted array
     (the numpy segment-op backbone: combine with diff/reduceat/flatnonzero
@@ -118,7 +144,7 @@ def set_union_groupby(
     val: str,
     *,
     out_col: str = "tags",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Per key: sorted-distinct values joined with "," + distinct count —
     the reference's accumulate-then-``$addToSet`` merge semantics (A1/K1,
@@ -131,6 +157,7 @@ def set_union_groupby(
     groups and EVERY key of a partition is merged in one call — sort +
     segment offsets feed one Arrow ``ListArray`` whose cells
     ``binary_join`` into the joined strings (zero per-key Python)."""
+    num_partitions = _resolve_partitions(ds, num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[key, val]].drop_duplicates()
@@ -176,7 +203,7 @@ def set_union_groupby_list(
     val: str,
     *,
     out_col: str = "tags",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Arrow-native K1 set-union: per key a sorted-distinct ``list<string>``
     column (the SURVEY §1.2 vertex-document shape — ``tags: list<string>``,
@@ -184,6 +211,7 @@ def set_union_groupby_list(
     Same partitioned-vectorized shape as ``set_union_groupby``; cells sort
     as STRINGS (pinned — this variant stringifies before sorting) and the
     output is a real Arrow ListArray built straight from segment offsets."""
+    num_partitions = _resolve_partitions(ds, num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[key, val]].drop_duplicates().copy()
@@ -249,13 +277,13 @@ def map_union_groupby(
     map_val_col: str,
     *,
     out_col: str = "protocols",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Nested map-merge (K1's ``protocols: map<string,int64>`` shape): per
     key, sum ``map_val_col`` per distinct ``map_key_col`` and emit one Arrow
     ``map<string,int64>`` cell with sorted keys.  Two-phase: per-batch
     (key, mkey) partial sums shrink the shuffle before the groupby."""
-
-    num_partitions = 32
+    num_partitions = _resolve_partitions(ds, num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -378,6 +406,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_s: int = 1800,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Session windows per user: a new session starts when the gap to the
     previous event exceeds ``gap_s`` (streaming-shaped op per the guide:
@@ -388,7 +417,7 @@ def sessionize(
     then every user in the partition sessionizes in a single call — sort
     by (user, sec), session breaks from one diff, per-session stats from
     segment offsets.  No per-user Python."""
-    num_partitions = 32
+    num_partitions = _resolve_partitions(events, num_partitions)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         users = df[user_col].to_numpy()
@@ -452,6 +481,7 @@ def carry_forward_merge(
     value_col: str = "value",
     types: Sequence[str] = ("click", "view"),
     handler_func=None,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """N-ary carry-forward series merge (A7 — ``utils/list_dict_utils.py:
     98-112`` ``combined_logs(*logs, handler_func)``): per key, take the
@@ -471,7 +501,33 @@ def carry_forward_merge(
     within a partition the per-type forward-fill is a
     ``maximum.accumulate`` over last-valid indices, fenced at user-segment
     starts so no value leaks across users.  No per-user Python."""
-    num_partitions = 32
+    num_partitions = _resolve_partitions(events, num_partitions)
+    if handler_func is not None:
+        # runtime contract probe (ADVICE r4): the matrix spans EVERY user
+        # in a hash partition, so a non-element-wise handler (per-user
+        # normalization, cumulative ops, …) silently returns wrong values.
+        # Element-wise ⇢ column i of the output depends only on column i
+        # of the input; check by comparing the full-matrix result against
+        # per-column applications on a fixed probe.
+        probe = np.arange(len(types) * 4, dtype=np.float64).reshape(
+            len(types), 4
+        )
+        full = np.asarray(handler_func(probe), dtype=np.float64).reshape(-1)
+        cols = np.array(
+            [
+                np.asarray(handler_func(probe[:, [i]])).reshape(-1)[0]
+                for i in range(probe.shape[1])
+            ],
+            dtype=np.float64,
+        )
+        if full.shape != (4,) or not np.allclose(full, cols, equal_nan=True):
+            raise ValueError(
+                "carry_forward_merge: handler_func must be element-wise "
+                "(output column i may depend only on input column i); the "
+                "series matrix spans every user in a hash partition, not "
+                "one user — a per-user handler would be silently wrong. "
+                "Pre-aggregate per user instead, or use handler_func=None."
+            )
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df[type_col].isin(list(types))]
@@ -532,6 +588,7 @@ def asof_last_before(
     type_col: str = "event_type",
     target_type: str = "purchase",
     lookup_type: str = "click",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Per-row as-of lookup (A9 — ``utils/utils.py:9-28`` latest change-log
     value ≤ t): for every ``target_type`` event, the event_id of the last
@@ -545,7 +602,7 @@ def asof_last_before(
     Partitioned-vectorized: ONE hash-partition shuffle on the user key;
     the carried index is a shifted ``maximum.accumulate`` fenced at
     user-segment starts.  No per-user Python."""
-    num_partitions = 32
+    num_partitions = _resolve_partitions(events, num_partitions)
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
         out = df[[user_col, "event_id", ts_col, type_col]].copy()
@@ -589,7 +646,7 @@ def asof_join(
     ts_col: str = "ts",
     value_cols: Sequence[str],
     strict: bool = False,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     default: int = -1,
 ) -> rd.Dataset:
     """Generic two-Dataset as-of join (J+ family): for every left row, the
@@ -609,6 +666,7 @@ def asof_join(
     ``asof_last_before``).  Output: all left columns + ``asof_<value_col>``
     columns.
     """
+    num_partitions = _resolve_partitions(left, num_partitions)
     value_cols = list(value_cols)
     left_cols = list(left.schema().names)
     rv_cols = [f"__r_{c}" for c in value_cols]
@@ -733,6 +791,7 @@ def range_join_count(
     hi_col: str,
     ts_col: str,
     out_col: str = "n_points",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Range (interval) join, count form: for every interval row, the
     number of points of the same ``by`` key with ``lo ≤ ts ≤ hi``.
@@ -745,7 +804,7 @@ def range_join_count(
     supported (each point may count toward many intervals).  No per-key
     Python.  Output: all interval columns + ``out_col``.
     """
-    num_partitions = 32
+    num_partitions = _resolve_partitions(points, num_partitions)
 
     int_cols = list(intervals.schema().names)
 
@@ -845,6 +904,7 @@ def keep_first_per_bucket(
     user_col: str = "user_id",
     ts_col: str = "ts",
     bucket_s: int = 86400,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Change-log compaction (A10 — ``utils/list_dict_utils.py:75-95``
     ``prune_change_logs``: keep the first entry per day bucket).  Output one
@@ -853,7 +913,7 @@ def keep_first_per_bucket(
     Partitioned-vectorized: hash-partition on the user key, then ONE
     sort + ``drop_duplicates`` picks every (user, bucket)'s winner — no
     per-bucket Python."""
-    num_partitions = 32
+    num_partitions = _resolve_partitions(events, num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -924,7 +984,11 @@ def type_profile(
 
 
 def last_per_key(
-    ds: rd.Dataset, key: str, order_col, value_cols: Sequence[str]
+    ds: rd.Dataset,
+    key: str,
+    order_col,
+    value_cols: Sequence[str],
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Latest row per key by (order_col desc, stable) — the reference's
     sort-desc + limit(1) pattern (S10/S11, ``databases/mongodb.py:51-57,
@@ -933,7 +997,7 @@ def last_per_key(
     Partitioned-vectorized: local per-batch combiner, hash-partition
     shuffle, then ONE sort + ``drop_duplicates(keep="last")`` picks every
     key's winner — no per-key Python."""
-    num_partitions = 32
+    num_partitions = _resolve_partitions(ds, num_partitions)
 
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
 

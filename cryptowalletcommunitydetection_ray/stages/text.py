@@ -245,6 +245,7 @@ def inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_df: int = 1,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Posting lists: (token, df, postings ``list<int64>`` sorted asc).
 
@@ -260,8 +261,9 @@ def inverted_index(
     import pyarrow as pa
 
     from ..context import hash64
+    from .relational import _resolve_partitions
 
-    num_partitions = 32
+    num_partitions = _resolve_partitions(docs, num_partitions)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         # C-level whitespace split (≡ WS_TOKEN_RE.findall), then ONE

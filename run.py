@@ -249,14 +249,30 @@ def main(argv=None):
         metrics = {"algorithm": "contamination_screen", "ngram": args.ngram}
 
     if result_ds is not None and getattr(args, "out", None):
+        # snapshot pre-existing files so rows_out counts ONLY this run's
+        # output — write_parquet appends to a non-empty directory, and
+        # counting the whole directory silently inflates rows_out with
+        # stale files from a previous run (ADVICE r4)
+        pre = (
+            set(os.listdir(args.out)) if os.path.isdir(args.out) else set()
+        )
         result_ds.write_parquet(args.out)
         metrics["out"] = args.out
         if args.cmd == "screen":
-            # rows_out for screen comparison, from the written files'
-            # parquet metadata (no re-read)
+            # rows_out for screen comparison, from the freshly written
+            # files' parquet metadata (no re-read)
             import pyarrow.dataset as pads
 
-            metrics["rows_out"] = pads.dataset(args.out).count_rows()
+            new_files = [
+                os.path.join(args.out, f)
+                for f in os.listdir(args.out)
+                if f not in pre
+            ]
+            metrics["rows_out"] = (
+                pads.dataset(new_files).count_rows() if new_files else 0
+            )
+            if pre:
+                metrics["stale_files_ignored"] = len(pre)
     elif result_ds is not None:
         metrics["rows"] = result_ds.count()
         if args.cmd == "screen":
