@@ -275,39 +275,101 @@ class MinLabelState(_VecState):
 
 
 class ModeLabelState(_VecState):
-    """Synchronous community label propagation (mode of neighbor labels).
+    """Synchronous community label propagation (mode of neighbor labels),
+    delta-based with a change frontier.
 
     Pinned deterministic rule: new label = the smallest label among those
     with maximal neighbor count; vertices with no neighbors keep their
     label (tests pin the same rule in a pure-python oracle).
+
+    Frontier design: mode is not monotone, so MinLabelState's
+    send-only-changed trick can't work alone — a receiver can't take a
+    mode over partial input.  Instead each shard keeps the full
+    per-(dst, label) neighbor-count table for ITS OWN vertices (≤ its
+    in-edge count rows — the same O(E/P) budget as the CSR it already
+    holds), and senders ship signed COUNT DELTAS for changed sources
+    only: when src moves a→b every neighbor receives (dst, a, -1) and
+    (dst, b, +1), pre-aggregated per (dst, label) with zero-sum rows
+    dropped.  On a web graph most labels freeze after 2-3 supersteps, so
+    message bytes drop from O(E) to O(frontier out-edges); winners are
+    recomputed only for delta-touched dsts.  Equivalent to the full
+    recompute: an untouched dst's neighbor-label multiset is unchanged,
+    hence so is its (max count, min label) argmax.  The first superstep
+    (and the one after ``restore``) sends full counts to seed the table.
     """
 
     def __init__(self, data: ShardData):
         self.data = data
         self.csr = data.csr("edges_und")
         self.labels = data.vids.copy()
+        self._reset_frontier()
+
+    def _reset_frontier(self) -> None:
+        self.frontier = np.ones(len(self.data.vids), dtype=bool)
+        self.sent_labels = None  # labels as of the last compute() send
+        self.t_dst = np.empty(0, dtype=np.int64)  # count table, lexsorted
+        self.t_lab = np.empty(0, dtype=np.int64)  # by (dst, label)
+        self.t_cnt = np.empty(0, dtype=np.int64)
 
     def restore(self, path: str) -> None:
         self.labels = self._load_vec(path, "label")
+        self._reset_frontier()  # next compute() reseeds the count table
+
+    @staticmethod
+    def _agg(d: np.ndarray, v: np.ndarray, c: np.ndarray):
+        """Sum ``c`` per (d, v) pair; returns lexsorted (d, v, sum) with
+        zero-sum rows dropped, or None if nothing survives."""
+        order = np.lexsort((v, d))
+        d, v, c = d[order], v[order], c[order]
+        new_grp = np.r_[True, (d[1:] != d[:-1]) | (v[1:] != v[:-1])]
+        starts = np.flatnonzero(new_grp)
+        sums = np.add.reduceat(c, starts)
+        keep = sums != 0
+        if not keep.any():
+            return None
+        return d[starts][keep], v[starts][keep], sums[keep]
 
     def compute(self):
         c = self.csr
-        lab = self.labels[c.src_idx]
         out = []
-        for q in range(self.data.nparts):
-            s, e = int(c.qb[q]), int(c.qb[q + 1])
-            if s == e:
-                out.append(None)
-                continue
-            d = c.dst_sorted[s:e]
-            v = lab[s:e]
-            order = np.lexsort((v, d))
-            d, v = d[order], v[order]
-            new_grp = np.r_[True, (d[1:] != d[:-1]) | (v[1:] != v[:-1])]
-            starts = np.flatnonzero(new_grp)
-            counts = np.diff(np.r_[starts, len(d)])
-            out.append((d[starts], v[starts], counts))
-        return (*out, 0)
+        if self.sent_labels is None:
+            # seed send: full (+1) counts into empty receiver tables
+            lab = self.labels[c.src_idx]
+            for q in range(self.data.nparts):
+                s, e = int(c.qb[q]), int(c.qb[q + 1])
+                out.append(
+                    None
+                    if s == e
+                    else self._agg(
+                        c.dst_sorted[s:e],
+                        lab[s:e],
+                        np.ones(e - s, dtype=np.int64),
+                    )
+                )
+        else:
+            mask = self.frontier[c.src_idx]
+            old = self.sent_labels[c.src_idx]
+            new = self.labels[c.src_idx]
+            for q in range(self.data.nparts):
+                s, e = int(c.qb[q]), int(c.qb[q + 1])
+                m = mask[s:e]
+                if s == e or not m.any():
+                    out.append(None)
+                    continue
+                d0 = c.dst_sorted[s:e][m]
+                k = len(d0)
+                sgn = np.empty(2 * k, dtype=np.int64)
+                sgn[:k] = -1
+                sgn[k:] = 1
+                out.append(
+                    self._agg(
+                        np.concatenate([d0, d0]),
+                        np.concatenate([old[s:e][m], new[s:e][m]]),
+                        sgn,
+                    )
+                )
+        self.sent_labels = self.labels.copy()
+        return (*out, int(self.frontier.sum()))
 
     def apply(self, msg_refs) -> int:
         ds, vs, cs = [], [], []
@@ -316,14 +378,29 @@ class ModeLabelState(_VecState):
                 continue
             ds.append(m[0]); vs.append(m[1]); cs.append(m[2])
         if not ds:
+            self.frontier = np.zeros(len(self.data.vids), dtype=bool)
             return 0
         d = np.concatenate(ds); v = np.concatenate(vs); c = np.concatenate(cs)
-        order = np.lexsort((v, d))
-        d, v, c = d[order], v[order], c[order]
-        new_grp = np.r_[True, (d[1:] != d[:-1]) | (v[1:] != v[:-1])]
-        gid = np.cumsum(new_grp) - 1
-        cm = np.bincount(gid, weights=c)
-        du, vu = d[new_grp], v[new_grp]
+        # fold the deltas into the count table (one lexsort-merge; rows
+        # whose count returns to zero drop out)
+        merged = self._agg(
+            np.concatenate([self.t_dst, d]),
+            np.concatenate([self.t_lab, v]),
+            np.concatenate([self.t_cnt, c.astype(np.int64)]),
+        )
+        if merged is None:  # all counts cancelled — no neighbors anywhere
+            self.t_dst = self.t_lab = self.t_cnt = np.empty(0, np.int64)
+            self.frontier = np.zeros(len(self.data.vids), dtype=bool)
+            return 0
+        self.t_dst, self.t_lab, self.t_cnt = merged
+        # recompute winners only for dsts a delta touched (sorted-vs-sorted
+        # membership: t_dst is lexsort-major, touched is unique-sorted)
+        touched = np.unique(d)
+        pos = np.searchsorted(touched, self.t_dst)
+        member = (pos < len(touched)) & (
+            touched[np.minimum(pos, len(touched) - 1)] == self.t_dst
+        )
+        du, vu, cm = self.t_dst[member], self.t_lab[member], self.t_cnt[member]
         # per dst: max count, tie → min label
         sel = np.lexsort((vu, -cm, du))
         du, vu = du[sel], vu[sel]
@@ -332,6 +409,8 @@ class ModeLabelState(_VecState):
         idx = np.searchsorted(self.data.vids, dst_win)
         changed = self.labels[idx] != lab_win
         self.labels[idx] = lab_win
+        self.frontier = np.zeros(len(self.data.vids), dtype=bool)
+        self.frontier[idx[changed]] = True
         return int(changed.sum())
 
     def save(self, path: str) -> None:
