@@ -908,6 +908,23 @@ def _q_contamination_screen(sf_dir):
     return contamination_screen(docs, bench, n=8)
 
 
+def _q_contamination_screen_hashed(sf_dir):
+    """Same screen via the 100 TB-shape membership: grams fold to int64
+    (``hash64``) on both sides, the broadcast is a sorted 8 B/gram array
+    probed with ``searchsorted``.  Hash-green against the SAME string-gram
+    SQL oracle — a divergence needs a 64-bit corpus-gram/bench-gram
+    collision (~q·c/2⁶⁴)."""
+    from cryptowalletcommunitydetection_ray.stages.text import (
+        contamination_screen,
+    )
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        _mod_eq_filter("doc_id", 97), batch_format="pyarrow"
+    )
+    return contamination_screen(docs, bench, n=8, hashed=True)
+
+
 def _q_quantiles_event_value(sf_dir):
     """Histogram-sketch quantiles of events.value — the estimator is
     pinned (right-edge of the first bin reaching q·n over 1024 fixed
@@ -1159,6 +1176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Listed first: the 4 entries absent from the driver's 50-row r4
         # snapshot, so a capped gate attests them this round (VERDICT r4 #1).
         "contamination_screen": _q_contamination_screen,
+        "contamination_screen_hashed": _q_contamination_screen_hashed,
         "approx_distinct_users": _q_approx_distinct_users,
         "quantiles_event_value": _q_quantiles_event_value,
         "multimodal_features": _q_multimodal_features,
@@ -1606,7 +1624,7 @@ _HLL_SQL = f"""
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "pagerank_star": _PAGERANK_STAR_SQL,
         "labelprop_star": _lpa_star_sql(10),
         # flagship pages-corpus kernels: algorithm recomputed by DuckDB
@@ -2101,3 +2119,7 @@ def oracle_sql() -> dict[str, str]:
             FROM verts v LEFT JOIN tri t USING (vid)
         """,
     }
+    # the hashed membership variant must reproduce the exact string-gram
+    # semantics (hash64 is injective on the data barring ~q·c/2⁶⁴ odds)
+    out["contamination_screen_hashed"] = out["contamination_screen"]
+    return out

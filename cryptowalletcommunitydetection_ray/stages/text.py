@@ -371,6 +371,7 @@ def contamination_screen(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hashed: bool = False,
 ) -> rd.Dataset:
     """Benchmark-contamination screen: (doc_id, n_hits) where n_hits =
     number of DISTINCT word ``n``-grams of the doc that appear anywhere in
@@ -380,17 +381,28 @@ def contamination_screen(
     its distinct n-gram set is collected once on the driver and broadcast
     via ``ray.put``; every corpus task reads the same object-store copy,
     so the corpus side streams with zero shuffle.  Per batch the corpus
-    side builds all grams Arrow-natively (``_batch_grams``) and membership
-    is one C-level ``pc.is_in`` against the broadcast value set; only the
-    (rare) matches hit a pandas dedup for the per-doc DISTINCT count.
-    Grams are matched as strings (exact, SQL-reproducible); a 100 TB
-    deployment would hash them to uint64 and use sorted-array
-    ``searchsorted`` membership (collision odds ~q²/2⁶⁵) — the
-    broadcast/stream shape is identical."""
+    side builds all grams Arrow-natively (``_batch_grams``).
+
+    Two membership modes (identical broadcast/stream shape, identical
+    results barring astronomically unlikely collisions — pinned equal on
+    test corpora):
+
+    - ``hashed=False``: grams matched as STRINGS via one C-level
+      ``pc.is_in`` — exact and SQL-reproducible, broadcast carries the
+      gram bytes (~n·word bytes per gram).
+    - ``hashed=True``: the 100 TB shape — grams fold to int64 via
+      ``hash64`` on both sides; the broadcast is a sorted int64 array
+      (8 B/gram, ~10× smaller) probed with ``np.searchsorted``, and the
+      per-doc DISTINCT count is a lexsort over (doc, hash) pairs.  False
+      positives need a 64-bit collision between a corpus gram and a
+      bench gram (~q·c/2⁶⁴): negligible, and only ever OVERcounts n_hits
+      by 1."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     import ray
+
+    from ..context import hash64
 
     bench_grams: set[str] = set()
     for b in bench.select_columns([text_col]).iter_batches(
@@ -398,31 +410,57 @@ def contamination_screen(
     ):
         _, grams = _batch_grams(b[text_col], n)
         bench_grams.update(grams.to_pylist())
-    ref = ray.put(pa.array(sorted(bench_grams), pa.string()))
+    if hashed:
+        ref = ray.put(
+            np.unique(hash64(np.array(sorted(bench_grams), dtype=object)))
+            if bench_grams
+            else np.empty(0, np.int64)
+        )
+    else:
+        ref = ray.put(pa.array(sorted(bench_grams), pa.string()))
 
     class Screen:
         def __init__(self):
-            self.gram_set: pa.Array = ray.get(ref)
+            self.gram_set = ray.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             doc_of, grams = _batch_grams(df[text_col], n)
             hits = np.zeros(len(df), dtype=np.int64)
             if len(grams) and len(self.gram_set):
-                m = pc.is_in(grams, value_set=self.gram_set).to_numpy(
-                    zero_copy_only=False
-                )
-                if m.any():
-                    matched = pd.DataFrame(
-                        {
-                            "d": doc_of[m],
-                            "g": pc.filter(grams, pa.array(m)).to_pandas(),
-                        }
-                    ).drop_duplicates()
-                    np.add.at(
-                        hits,
-                        matched["d"].to_numpy(),
-                        np.ones(len(matched), dtype=np.int64),
+                if hashed:
+                    h = hash64(grams.to_numpy(zero_copy_only=False))
+                    s = self.gram_set  # sorted int64
+                    pos = np.searchsorted(s, h)
+                    m = (pos < len(s)) & (
+                        s[np.minimum(pos, len(s) - 1)] == h
                     )
+                    if m.any():
+                        md, mh = doc_of[m], h[m]
+                        order = np.lexsort((mh, md))
+                        md, mh = md[order], mh[order]
+                        first = np.r_[
+                            True,
+                            (md[1:] != md[:-1]) | (mh[1:] != mh[:-1]),
+                        ]
+                        np.add.at(hits, md[first], 1)
+                else:
+                    m = pc.is_in(
+                        grams, value_set=self.gram_set
+                    ).to_numpy(zero_copy_only=False)
+                    if m.any():
+                        matched = pd.DataFrame(
+                            {
+                                "d": doc_of[m],
+                                "g": pc.filter(
+                                    grams, pa.array(m)
+                                ).to_pandas(),
+                            }
+                        ).drop_duplicates()
+                        np.add.at(
+                            hits,
+                            matched["d"].to_numpy(),
+                            np.ones(len(matched), dtype=np.int64),
+                        )
             return pd.DataFrame(
                 {id_col: df[id_col].to_numpy(), "n_hits": hits}
             )

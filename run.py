@@ -92,6 +92,12 @@ def main(argv=None):
     p.add_argument("--bench", required=True,
                    help="small benchmark parquet with a text column")
     p.add_argument("--ngram", type=int, default=8)
+    p.add_argument(
+        "--hashed",
+        action="store_true",
+        help="int64-hashed gram membership (8 B/gram broadcast, "
+        "searchsorted probe) instead of string is_in",
+    )
     p.add_argument("--out", default=None, help="write (doc_id, n_hits) here")
 
     args = ap.parse_args(argv)
@@ -245,8 +251,14 @@ def main(argv=None):
 
         docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
         bench = rd.read_parquet(args.bench, columns=["text"])
-        result_ds = contamination_screen(docs, bench, n=args.ngram)
-        metrics = {"algorithm": "contamination_screen", "ngram": args.ngram}
+        result_ds = contamination_screen(
+            docs, bench, n=args.ngram, hashed=args.hashed
+        )
+        metrics = {
+            "algorithm": "contamination_screen",
+            "ngram": args.ngram,
+            "hashed": bool(args.hashed),
+        }
 
     if result_ds is not None and getattr(args, "out", None):
         # snapshot pre-existing files so rows_out counts ONLY this run's

@@ -334,3 +334,34 @@ def test_fingerprints_batch_parity():
         fp, hv = fingerprint_with_hashes(t)
         assert int(fps[i]) == fp
         assert np.array_equal(vecs[i], hv)
+
+
+def test_contamination_screen_hashed_equals_string(ray_session):
+    """The 100 TB-shape hashed membership (int64 grams + searchsorted)
+    produces byte-identical results to string is_in on real text."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from cryptowalletcommunitydetection_ray.stages.text import (
+        contamination_screen,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    b = rd.read_parquet(
+        src, columns=["doc_id", "text"], filter=(pc.field("doc_id") < 20)
+    )
+    c = rd.read_parquet(src, columns=["doc_id", "text"])
+    a = (
+        contamination_screen(c, b, n=8, hashed=False)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    h = (
+        contamination_screen(c, b, n=8, hashed=True)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(h)
+    assert (a.loc[a.doc_id < 20, "n_hits"] > 0).all()  # bench ⊂ corpus
