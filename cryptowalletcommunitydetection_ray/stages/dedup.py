@@ -55,9 +55,39 @@ def digest128(values) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _composite_key(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
+    """\\x1f-joined string key, built with Arrow's element-wise join (one
+    C kernel over the whole batch) — not pandas ``agg(join, axis=1)``,
+    which invokes Python once per row.  Output strings are byte-identical
+    to the old per-row join (same ``astype(str)`` components)."""
     if len(key_cols) == 1:
         return df[key_cols[0]].astype(str).to_numpy()
-    return df[list(key_cols)].astype(str).agg("\x1f".join, axis=1).to_numpy()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    parts = [
+        pa.array(df[c].astype(str).to_numpy(), type=pa.string())
+        for c in key_cols
+    ]
+    return pc.binary_join_element_wise(*parts, "\x1f").to_numpy(
+        zero_copy_only=False
+    )
+
+
+def _key_route_hash(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
+    """uint64 partition-routing hash of the key tuple.  All-integer keys
+    (the LSH/SimHash/ANN candidate-pair tables and the edge (src, dst)
+    dedup — the hot paths) never touch strings: each column is splitmix64-
+    mixed into the accumulator, so equal tuples collide and order matters
+    (``(a, b) != (b, a)``).  Anything else falls back to hash64 of the
+    vectorized composite string key."""
+    from .bloom import _splitmix64
+
+    if all(df[c].dtype.kind in "ui" for c in key_cols):
+        h = np.zeros(len(df), np.uint64)
+        for c in key_cols:
+            h = _splitmix64(h ^ _splitmix64(df[c].to_numpy().astype(np.uint64)))
+        return h
+    return hash64(_composite_key(df, key_cols)).astype(np.uint64)
 
 
 def exact_dedup_digest(
@@ -146,9 +176,7 @@ def exact_dedup(
         if len(key_cols) == 1 and df[key_cols[0]].dtype.kind in "ui":
             h = df[key_cols[0]].to_numpy().astype(np.uint64)
         else:
-            h = hash64(
-                df[key_cols].astype(str).agg("\x1f".join, axis=1).to_numpy()
-            ) if len(key_cols) > 1 else hash64(df[key_cols[0]].to_numpy())
+            h = _key_route_hash(df, key_cols)
         df = df.copy()
         df[_PART] = (h % np.uint64(num_partitions)).astype(np.int32)
         return df
