@@ -61,3 +61,56 @@ def segment_pair_indices(
     block_start = np.r_[0, np.cumsum(reps)]
     jj = np.arange(len(ii), dtype=np.int64) - block_start[ii] + ii + 1
     return ii, jj
+
+
+def pair_intersection_counts(
+    set_arrays: list[np.ndarray],
+    a_idx: np.ndarray,
+    b_idx: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """|A ∩ B| and |A ∪ B| for MANY (a, b) pairs of sorted-unique arrays in
+    one whole-array pass — the vectorized replacement for per-pair
+    ``np.intersect1d`` in the Jaccard verify stages.
+
+    ``set_arrays[i]`` must be sorted and duplicate-free (the
+    ``shingle_hashes`` contract); ``a_idx``/``b_idx`` index into it.  The
+    two sides of every pair are gathered into one flat stream tagged with
+    the pair id, lexsorted by (pair, value), and an element is in the
+    intersection iff it appears twice adjacently under the same pair —
+    one sort over Σ(|A|+|B|) values instead of a Python loop with a sort
+    per pair.  Returns int64 (inter, union) arrays of len(a_idx)."""
+    npairs = len(a_idx)
+    if npairs == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    lens = np.fromiter(
+        (len(x) for x in set_arrays), np.int64, len(set_arrays)
+    )
+    offs = np.zeros(len(set_arrays) + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = (
+        np.concatenate(set_arrays)
+        if offs[-1]
+        else np.empty(0, dtype=np.uint64)
+    )
+    seg_doc = np.empty(2 * npairs, np.int64)
+    seg_doc[0::2] = a_idx
+    seg_doc[1::2] = b_idx
+    seg_len = lens[seg_doc]
+    total = int(seg_len.sum())
+    # global gather indices: per segment, start .. start+len (segment arange)
+    seg_cum = np.zeros(2 * npairs, np.int64)
+    np.cumsum(seg_len[:-1], out=seg_cum[1:])
+    gather = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(seg_cum, seg_len)
+        + np.repeat(offs[seg_doc], seg_len)
+    )
+    vals = flat[gather]
+    pid = np.repeat(np.repeat(np.arange(npairs, dtype=np.int64), 2), seg_len)
+    order = np.lexsort((vals, pid))
+    sv, sp = vals[order], pid[order]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    inter = np.bincount(sp[1:][dup], minlength=npairs).astype(np.int64)
+    union = lens[a_idx] + lens[b_idx] - inter
+    return inter, union

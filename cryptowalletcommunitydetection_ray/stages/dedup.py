@@ -397,41 +397,34 @@ def copartitioned_jaccard(
     )
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.hashes import shingle_hashes
+        from ..functions.hashes import shingle_hashes_batch
+        from ..functions.segments import pair_intersection_counts
 
         is_doc = g["kind"].to_numpy() == 0
         pairs = g[~is_doc]
         if not len(pairs):
             return _empty2
-        doc_text = dict(
-            zip(g["b"].to_numpy()[is_doc], g["text"].to_numpy()[is_doc])
+        a = pairs["a"].to_numpy()
+        b = pairs["b"].to_numpy()
+        # shingle once per UNIQUE doc on each side (a-side text rides on the
+        # pair rows; b-side text comes from this partition's doc rows), then
+        # count every pair's intersection in one whole-array pass
+        ua, a_first, a_codes = np.unique(
+            a, return_index=True, return_inverse=True
         )
-        sh_cache: dict = {}
-
-        def sh_b(i):
-            s = sh_cache.get(i)
-            if s is None:
-                s = shingle_hashes(doc_text[i], shingle_k)
-                sh_cache[i] = s
-            return s
-
-        sha_cache: dict = {}
-
-        def sh_a(i, text):
-            s = sha_cache.get(i)
-            if s is None:
-                s = shingle_hashes(text, shingle_k)
-                sha_cache[i] = s
-            return s
-
-        inter = np.empty(len(pairs), np.int64)
-        union = np.empty(len(pairs), np.int64)
-        rows = zip(pairs["a"], pairs["b"], pairs["text"])
-        for j, (ai, bi, ta) in enumerate(rows):
-            sa, sb = sh_a(int(ai), ta), sh_b(int(bi))
-            ni = len(np.intersect1d(sa, sb, assume_unique=True))
-            inter[j] = ni
-            union[j] = len(sa) + len(sb) - ni
+        sh_a = shingle_hashes_batch(
+            pairs["text"].to_numpy()[a_first].tolist(), shingle_k
+        )
+        doc_ids = g["b"].to_numpy()[is_doc]
+        doc_txt = g["text"].to_numpy()[is_doc]
+        ub, b_codes = np.unique(b, return_inverse=True)
+        o = np.argsort(doc_ids, kind="stable")
+        sh_b = shingle_hashes_batch(
+            doc_txt[o[np.searchsorted(doc_ids[o], ub)]].tolist(), shingle_k
+        )
+        inter, union = pair_intersection_counts(
+            sh_a + sh_b, a_codes, b_codes + len(sh_a)
+        )
         return pd.DataFrame(
             {
                 "a": pairs["a"].to_numpy(),
@@ -468,26 +461,26 @@ class _BroadcastJaccard:
 
         self.lookup = ray.get(docs_ref)  # dict id -> text
         self.shingle_k = shingle_k
-        self._cache: dict = {}
-
-    def _sh(self, i):
-        from ..functions.hashes import shingle_hashes
-
-        s = self._cache.get(i)
-        if s is None:
-            s = shingle_hashes(self.lookup[i], self.shingle_k)
-            self._cache[i] = s
-        return s
+        self._cache: dict = {}  # doc id -> shingle array, lives per actor
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        inter = np.empty(n, np.int64)
-        union = np.empty(n, np.int64)
-        for j, (a, b) in enumerate(zip(df["a"], df["b"])):
-            sa, sb = self._sh(int(a)), self._sh(int(b))
-            ni = len(np.intersect1d(sa, sb, assume_unique=True))
-            inter[j] = ni
-            union[j] = len(sa) + len(sb) - ni
+        from ..functions.hashes import shingle_hashes_batch
+        from ..functions.segments import pair_intersection_counts
+
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
+        ids = np.unique(np.concatenate([a, b])) if len(df) else a
+        missing = [i for i in ids.tolist() if i not in self._cache]
+        if missing:
+            shs = shingle_hashes_batch(
+                [self.lookup[i] for i in missing], self.shingle_k
+            )
+            self._cache.update(zip(missing, shs))
+        inter, union = pair_intersection_counts(
+            [self._cache[i] for i in ids.tolist()],
+            np.searchsorted(ids, a),
+            np.searchsorted(ids, b),
+        )
         return pd.DataFrame(
             {
                 "a": df["a"].to_numpy(),

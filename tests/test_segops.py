@@ -95,6 +95,41 @@ def test_segment_pair_indices_matches_triu():
         np.testing.assert_array_equal(rank, ref_rank)
 
 
+def test_pair_intersection_counts_matches_intersect1d():
+    from cryptowalletcommunitydetection_ray.functions.segments import (
+        pair_intersection_counts,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        nd = int(rng.integers(1, 10))
+        arrays = [
+            np.unique(
+                rng.integers(0, 50, rng.integers(0, 30)).astype(np.uint64)
+            )
+            for _ in range(nd)
+        ]
+        npairs = int(rng.integers(0, 25))
+        ai = rng.integers(0, nd, npairs)
+        bi = rng.integers(0, nd, npairs)
+        inter, union = pair_intersection_counts(arrays, ai, bi)
+        for j in range(npairs):
+            sa, sb = arrays[ai[j]], arrays[bi[j]]
+            ni = len(np.intersect1d(sa, sb, assume_unique=True))
+            assert inter[j] == ni
+            assert union[j] == len(sa) + len(sb) - ni
+    # empty-pairs and self-pair edge cases
+    e_i, e_u = pair_intersection_counts(
+        [np.array([1, 2], np.uint64)], np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    assert len(e_i) == 0 and len(e_u) == 0
+    s_i, s_u = pair_intersection_counts(
+        [np.array([1, 2, 9], np.uint64)], np.array([0]), np.array([0])
+    )
+    assert s_i[0] == 3 and s_u[0] == 3
+
+
 def test_minhash_signatures_batch_matches_per_doc():
     from cryptowalletcommunitydetection_ray.functions.hashes import (
         minhash_params,
