@@ -19,6 +19,20 @@ from ..state.pool import get_pool
 from .edges import read_meta
 
 
+def resolve_message_mode(mode: str) -> str:
+    """``"auto"`` → ``"packed"`` on a single-node cluster (plasma reads are
+    zero-copy, so shipping each shard's whole compute output as ONE object
+    minimizes per-superstep object count — the measured latency floor),
+    ``"slots"`` on multi-node (per-destination ``num_returns`` routing
+    ships only the bytes each shard needs — the 100 TB shape)."""
+    if mode == "auto":
+        alive = [n for n in ray.nodes() if n.get("Alive")]
+        return "packed" if len(alive) <= 1 else "slots"
+    if mode not in ("packed", "slots"):
+        raise ValueError(f"message_mode must be auto|packed|slots: {mode!r}")
+    return mode
+
+
 def run_supersteps(
     *,
     algorithm: str,

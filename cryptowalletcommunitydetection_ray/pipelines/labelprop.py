@@ -13,7 +13,7 @@ import ray
 import ray.data as rd
 
 from ..state import checkpoint as ck
-from .iterative import run_supersteps
+from .iterative import resolve_message_mode, run_supersteps
 
 _K = "lpa"
 
@@ -26,8 +26,15 @@ def label_propagation(
     checkpoint_every: int = 5,
     resume: bool = False,
     pool_size: int | None = None,
+    fuse_volleys: bool = True,
+    message_mode: str = "auto",
 ) -> tuple[rd.Dataset, dict]:
-    """Returns (Dataset(vid: int64, label: int64), run metrics)."""
+    """Returns (Dataset(vid: int64, label: int64), run metrics).
+
+    ``fuse_volleys`` (default): one fused apply+compute task wave per
+    superstep; ``message_mode``: packed vs slots — see
+    ``pagerank.pagerank``; bit-identical labels on every path (pinned by
+    test_labelprop / test_pagerank)."""
 
     def init(shards, P):
         pass
@@ -40,12 +47,40 @@ def label_propagation(
             ]
         )
 
+    carry = {"next": None, "msgs": None, "mode": None}
+
     def step(shards, P, iteration):
-        refs = [
-            s.call_live.options(num_returns=P + 1).remote(_K, "compute") for s in shards
-        ]
+        if carry["mode"] is None:
+            carry["mode"] = resolve_message_mode(message_mode)
+        msgs = carry["msgs"]
+        fresh = msgs is None or carry["next"] != iteration
+        if fuse_volleys and carry["mode"] == "packed":
+            if fresh:
+                msgs = [s.call_live.remote(_K, "compute") for s in shards]
+            nxt = [
+                s.fused_packed.options(num_returns=2).remote(_K, msgs, q, False)
+                for q, s in enumerate(shards)
+            ]
+            carry["msgs"] = [r[0] for r in nxt]
+            carry["next"] = iteration + 1
+            return {"changed": [r[1] for r in nxt]}
+        if fresh or not fuse_volleys:
+            msgs = [
+                s.call_live.options(num_returns=P + 1).remote(_K, "compute")
+                for s in shards
+            ]
+        if fuse_volleys:
+            nxt = [
+                s.apply_then_compute.options(num_returns=P + 2).remote(
+                    _K, [msgs[p][q] for p in range(P)]
+                )
+                for q, s in enumerate(shards)
+            ]
+            carry["msgs"] = nxt
+            carry["next"] = iteration + 1
+            return {"changed": [nxt[q][P + 1] for q in range(P)]}
         changed_refs = [
-            s.call_live.remote(_K, "apply", [refs[p][q] for p in range(P)])
+            s.call_live.remote(_K, "apply", [msgs[p][q] for p in range(P)])
             for q, s in enumerate(shards)
         ]
         return {"changed": changed_refs}

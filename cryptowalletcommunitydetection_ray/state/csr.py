@@ -52,6 +52,15 @@ def _col(t: pa.Table, name: str) -> np.ndarray:
     return np.asarray(t[name].to_numpy(zero_copy_only=False), dtype=np.int64)
 
 
+def _fetch(objs) -> list:
+    """Resolve a list that may hold ObjectRefs (slot-routed protocol) or
+    already-materialized values (packed protocol)."""
+    objs = list(objs)
+    if objs and isinstance(objs[0], ray.ObjectRef):
+        return ray.get(objs)
+    return objs
+
+
 class _Csr:
     """Message-routing CSR over one artifact partition (edges sorted by
     (dst_partition, dst); per-q segment ids precomputed for local combine)."""
@@ -191,9 +200,9 @@ class PageRankState(_VecState):
         """``dangling_refs`` are the P per-shard dangling scalars (refs) —
         summed HERE in fixed order, so the driver never has to synchronize
         on them and supersteps can be pipelined without round-trips."""
-        dangling_total = float(sum(ray.get(list(dangling_refs))))
+        dangling_total = float(sum(_fetch(dangling_refs)))
         incoming = np.zeros(len(self.data.vids), dtype=np.float64)
-        for m in ray.get(list(msg_refs)):  # fixed order p=0..P-1: deterministic
+        for m in _fetch(msg_refs):  # fixed order p=0..P-1: deterministic
             if m is None:
                 continue
             idx = np.searchsorted(self.data.vids, m[0])
@@ -244,7 +253,7 @@ class MinLabelState(_VecState):
 
     def apply(self, msg_refs) -> int:
         best = self.labels.copy()
-        for m in ray.get(list(msg_refs)):
+        for m in _fetch(msg_refs):
             if m is None:
                 continue
             idx = np.searchsorted(self.data.vids, m[0])
@@ -373,7 +382,7 @@ class ModeLabelState(_VecState):
 
     def apply(self, msg_refs) -> int:
         ds, vs, cs = [], [], []
-        for m in ray.get(list(msg_refs)):
+        for m in _fetch(msg_refs):
             if m is None:
                 continue
             ds.append(m[0]); vs.append(m[1]); cs.append(m[2])
@@ -479,3 +488,56 @@ class KernelShard:
                 f"kernel {kernel!r} has no live state (shard restarted?)"
             )
         return getattr(k, method)(*args)
+
+    def apply_then_compute(self, kernel: str, msg_refs, *apply_args):
+        """Fused superstep volley: apply the incoming message slices, then
+        immediately compute the NEXT superstep's outgoing messages in the
+        SAME actor task — one task wave per superstep instead of two.
+        At sandbox graph sizes per-shard superstep compute is single-digit
+        ms, so task dispatch is the latency floor; fusing halves it.  The
+        state trajectory is identical to separate apply()/compute() calls:
+        the actor mailbox ran them back-to-back anyway, and compute() has
+        no effect on the checkpointed vectors.  Returns
+        ``(*compute_out, apply_metric)`` — callers slot-route with
+        ``num_returns = P + 2``.  Live-state semantics match
+        ``call_live``."""
+        k = self._kernels.get(kernel)
+        if k is None:
+            raise RuntimeError(
+                f"kernel {kernel!r} has no live state (shard restarted?)"
+            )
+        metric = k.apply(msg_refs, *apply_args)
+        return (*k.compute(), metric)
+
+    def fused_packed(self, kernel: str, packed_refs, q: int,
+                     scalar_slot: bool, *apply_args):
+        """Fused superstep volley over PACKED messages: each shard's whole
+        compute() output travels as ONE object instead of P + 1/2
+        ``num_returns`` slots.  Superstep latency on this pool is
+        ~0.2 ms × object count (measured), so packing drops the per-wave
+        object count from P·(P+2) to 2P — the single-node latency floor.
+        The tradeoff vs slot routing: every shard reads every producer's
+        FULL output, which on one node is a zero-copy plasma read (numpy
+        arrays map shared memory) but on a multi-node cluster would ship
+        P× the needed bytes — so the pipelines pick this mode only when
+        the cluster has one node (``message_mode="auto"``); slot routing
+        remains the multi-node / 100 TB shape.
+
+        ``packed_refs``: P refs, each a producer's full compute() tuple
+        (messages for q=0..P-1, then the scalar slot — dangling mass /
+        frontier size).  ``scalar_slot``: pass the producers' scalar
+        slots to ``apply`` as its second argument (PageRank's dangling
+        masses).  Returns ``(packed_compute_out, apply_metric)`` —
+        callers use ``num_returns=2`` and resolve only the metric.
+        Live-state semantics match ``call_live``."""
+        k = self._kernels.get(kernel)
+        if k is None:
+            raise RuntimeError(
+                f"kernel {kernel!r} has no live state (shard restarted?)"
+            )
+        packed = ray.get(list(packed_refs))  # zero-copy on one node
+        msgs = [pk[q] for pk in packed]
+        if scalar_slot:
+            apply_args = ([pk[-1] for pk in packed], *apply_args)
+        metric = k.apply(msgs, *apply_args)
+        return (k.compute(), metric)

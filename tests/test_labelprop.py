@@ -39,36 +39,21 @@ def test_lpa_frontier_quiesces(graph300):
     P = read_meta(graph300)["P"]
     states = [ModeLabelState(ShardData(graph300, p, P)) for p in range(P)]
 
-    class _Ref:  # stand-in for an ObjectRef the in-process apply can "get"
-        def __init__(self, v):
-            self.v = v
-
-    import ray
-
-    real_get = ray.get
-
-    def fake_get(refs):
-        return [r.v for r in refs]
-
-    ray.get = fake_get
-    try:
-        changed, sent_after_converged, frontier_after = None, None, None
-        for _ in range(30):
-            outs = [s.compute() for s in states]
-            msgs = [
-                [_Ref(outs[p][q]) for p in range(P)] for q in range(P)
+    # apply() accepts plain values as well as ObjectRefs (the packed
+    # protocol's contract), so the supersteps run in-process directly
+    changed, sent_after_converged, frontier_after = None, None, None
+    for _ in range(30):
+        outs = [s.compute() for s in states]
+        msgs = [[outs[p][q] for p in range(P)] for q in range(P)]
+        prev_changed = changed
+        changed = sum(states[q].apply(msgs[q]) for q in range(P))
+        if prev_changed == 0:
+            # superstep AFTER convergence: nothing may be sent
+            sent_after_converged = [
+                outs[p][q] for p in range(P) for q in range(P)
             ]
-            prev_changed = changed
-            changed = sum(states[q].apply(msgs[q]) for q in range(P))
-            if prev_changed == 0:
-                # superstep AFTER convergence: nothing may be sent
-                sent_after_converged = [
-                    outs[p][q] for p in range(P) for q in range(P)
-                ]
-                frontier_after = [o[-1] for o in outs]
-                break
-        assert sent_after_converged is not None, "never converged"
-        assert all(m is None for m in sent_after_converged)
-        assert all(f == 0 for f in frontier_after)
-    finally:
-        ray.get = real_get
+            frontier_after = [o[-1] for o in outs]
+            break
+    assert sent_after_converged is not None, "never converged"
+    assert all(m is None for m in sent_after_converged)
+    assert all(f == 0 for f in frontier_after)

@@ -38,3 +38,37 @@ def test_pagerank_dangling_chain(ray_session, tmp_path):
     want = oracle_pagerank([(va, vb), (vb, vc)], tol=1e-15)
     for v in (va, vb, vc):
         assert abs(pr[v] - want[v]) < 1e-9
+
+
+def test_fused_volleys_bit_identical(graph300):
+    """fuse_volleys=True (one apply+compute task wave per superstep) must
+    reproduce the two-wave path bit-for-bit for every superstep kernel:
+    the actor mailbox ran apply then compute back-to-back anyway, and all
+    folds are fixed-order."""
+    from cryptowalletcommunitydetection_ray.pipelines.components import (
+        connected_components,
+    )
+    from cryptowalletcommunitydetection_ray.pipelines.labelprop import (
+        label_propagation,
+    )
+
+    for fn, col, kw in (
+        (pagerank, "rank", dict(tol=1e-12)),
+        (connected_components, "label", {}),
+        (label_propagation, "label", dict(max_iter=10)),
+    ):
+        variants = [
+            dict(fuse_volleys=True, message_mode="packed"),
+            dict(fuse_volleys=True, message_mode="slots"),
+            dict(fuse_volleys=False, message_mode="slots"),
+        ]
+        results = []
+        for v in variants:
+            out, met = fn(graph300, **v, **kw)
+            df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+            results.append((df, met))
+        base_df, base_met = results[0]
+        for df, met in results[1:]:
+            assert (base_df["vid"].to_numpy() == df["vid"].to_numpy()).all()
+            assert (base_df[col].to_numpy() == df[col].to_numpy()).all()
+            assert base_met["supersteps_run"] == met["supersteps_run"]
