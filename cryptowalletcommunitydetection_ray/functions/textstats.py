@@ -75,12 +75,42 @@ BPE_MERGES: list[tuple[str, str]] = [
 ]
 
 
-def bpe_real_token_count(text: str, cache: dict | None = None) -> int:
-    """Total symbol count after applying ``BPE_MERGES`` to every non-space
-    pre-token (GPT-2 pre-tokenizer regex; the pre-token's leading space
-    marker is dropped before symbolizing so the space char never collides
-    with the symbol delimiter).  ``cache`` memoizes per unique pre-token —
-    per-ACTOR state at scale (natural text repeats words heavily)."""
+def load_merges_file(path: str) -> list[tuple[str, str]]:
+    """Parse a GPT-2-style ``merges.txt`` (one ``left right`` pair per
+    line, rank order; ``#``-prefixed header lines skipped) into the merge
+    table ``bpe_real_token_count`` consumes — the optional-deps hook for
+    running the real merge-loop tokenizer against a production vocab
+    instead of the pinned ``BPE_MERGES`` table the oracles check."""
+    merges: list[tuple[str, str]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2:
+                raise ValueError(
+                    f"{path}: malformed merges line {line!r} "
+                    "(expected 'left right')"
+                )
+            merges.append((parts[0], parts[1]))
+    return merges
+
+
+def bpe_real_token_count(
+    text: str,
+    cache: dict | None = None,
+    merges: list[tuple[str, str]] | None = None,
+) -> int:
+    """Total symbol count after applying ``merges`` (default: the pinned
+    ``BPE_MERGES``) to every non-space pre-token (GPT-2 pre-tokenizer
+    regex; the pre-token's leading space marker is dropped before
+    symbolizing so the space char never collides with the symbol
+    delimiter).  ``cache`` memoizes per unique pre-token — per-ACTOR
+    state at scale (natural text repeats words heavily); callers passing
+    a non-default merge table must use a distinct cache."""
+    if merges is None:
+        merges = BPE_MERGES
     n = 0
     for m in BPE_RE.finditer(text):
         tok = m.group()
@@ -90,7 +120,7 @@ def bpe_real_token_count(text: str, cache: dict | None = None) -> int:
         cnt = cache.get(tok) if cache is not None else None
         if cnt is None:
             s = " " + " ".join(tok) + " "
-            for a, b in BPE_MERGES:
+            for a, b in merges:
                 s = s.replace(f" {a} {b} ", f" {a}{b} ")
             cnt = s.count(" ") - 1
             if cache is not None:

@@ -74,14 +74,20 @@ class FakeFeatureExtractor:
 
 
 class RealImageDecode:
-    """STUB: real image decode requires PIL, which is not in this container.
+    """Real image decode behind a PIL import guard (PIL is not in this
+    container, so construction raises a clear NotImplementedError here and
+    the PIL-gated test skips; with PIL installed the stage runs for real).
 
-    The class exists so the pipeline shape (actor signature, schema) is
-    pinned; constructing it without PIL raises immediately rather than at
-    the first batch.
+    Per batch: decode each binary payload, record true (width, height),
+    and emit an 8×8 grayscale thumbnail as a 64-dim float feature vector —
+    the same (id, n_bytes, features) layout as ``FakeFeatureExtractor``
+    plus width/height, so downstream stages are interchangeable.
+    Undecodable payloads yield width = height = -1 and zero features
+    (curation pipelines filter on it) instead of poisoning the batch.
     """
 
-    def __init__(self, id_col: str = "id", payload_col: str = "payload"):
+    def __init__(self, id_col: str = "id", payload_col: str = "payload",
+                 thumb: int = 8):
         try:
             import PIL.Image  # noqa: F401
         except ImportError as e:
@@ -89,10 +95,41 @@ class RealImageDecode:
                 "image decode requires PIL; not available in this "
                 "environment — use FakeFeatureExtractor for plumbing tests"
             ) from e
-        self.id_col, self.payload_col = id_col, payload_col
+        self.id_col, self.payload_col, self.thumb = id_col, payload_col, thumb
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # pragma: no cover
-        raise NotImplementedError
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import io
+
+        from PIL import Image, UnidentifiedImageError
+
+        t = self.thumb
+        widths = np.empty(len(df), dtype=np.int32)
+        heights = np.empty(len(df), dtype=np.int32)
+        feats: list[np.ndarray] = []
+        for j, p in enumerate(df[self.payload_col]):
+            try:
+                img = Image.open(io.BytesIO(p or b""))
+                widths[j], heights[j] = img.width, img.height
+                small = img.convert("L").resize((t, t))
+                feats.append(
+                    (np.asarray(small, dtype=np.float32) / 255.0).reshape(-1)
+                )
+            except (UnidentifiedImageError, OSError, ValueError):
+                widths[j] = heights[j] = -1
+                feats.append(np.zeros(t * t, dtype=np.float32))
+        return pd.DataFrame(
+            {
+                self.id_col: df[self.id_col].to_numpy(),
+                "n_bytes": np.array(
+                    [len(p) if p is not None else 0
+                     for p in df[self.payload_col]],
+                    dtype=np.int64,
+                ),
+                "width": widths,
+                "height": heights,
+                "features": feats,
+            }
+        )
 
 
 def attach_fake_payloads(

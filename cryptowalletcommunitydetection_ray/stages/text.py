@@ -36,10 +36,21 @@ class TokenCountStage:
     count, and the REAL byte-pair-merge tokenizer (``BPE_MERGES`` applied
     in rank order).  The per-unique-pre-token count cache is actor state
     built up across batches — the "vocab/model loaded once per actor"
-    shape of a production tokenizer stage."""
+    shape of a production tokenizer stage.
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+    ``merges_path``: optional GPT-2-style ``merges.txt`` — loaded ONCE per
+    actor here in ``__init__`` (the production-vocab hook); when absent
+    the pinned ``BPE_MERGES`` table is used, which is what the SQL
+    oracles reproduce."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 merges_path: str | None = None):
+        from ..functions.textstats import load_merges_file
+
         self.text_col, self.id_col = text_col, id_col
+        self._merges = (
+            load_merges_file(merges_path) if merges_path else None
+        )
         self._bpe_cache: dict[str, int] = {}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
@@ -57,7 +68,10 @@ class TokenCountStage:
                     [bpe_token_count(t) for t in s], dtype=np.int64
                 ),
                 "n_bpe_real": np.array(
-                    [bpe_real_token_count(t, self._bpe_cache) for t in s],
+                    [
+                        bpe_real_token_count(t, self._bpe_cache, self._merges)
+                        for t in s
+                    ],
                     dtype=np.int64,
                 ),
             }
@@ -70,12 +84,16 @@ def token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency: int = 4,
+    merges_path: str | None = None,
 ) -> rd.Dataset:
     """(doc_id, n_ws_tokens, n_bpe_tokens, n_bpe_real) — whitespace count,
-    BPE-ish regex pre-token count, and real merge-loop BPE symbol count."""
+    BPE-ish regex pre-token count, and real merge-loop BPE symbol count
+    (over ``merges_path``'s vocab when given, else the pinned table)."""
     return docs.select_columns([id_col, text_col]).map_batches(
         TokenCountStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, merges_path=merges_path
+        ),
         batch_format="pandas",
         batch_size=2048,
         concurrency=(1, concurrency),

@@ -21,9 +21,36 @@ def test_fake_decode_deterministic():
     assert np.array_equal(fake_decode_features(b""), np.zeros(FEATURE_DIM, np.float32))
 
 
-def test_real_decode_is_gated_stub():
-    with pytest.raises(NotImplementedError, match="PIL"):
-        RealImageDecode()
+def test_real_decode_is_gated_without_pil():
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            RealImageDecode()
+    else:
+        pytest.skip("PIL installed; gating not applicable")
+
+
+def test_real_decode_with_pil():
+    """Runs only where PIL exists: decode real PNG bytes, check schema,
+    dims, feature range, and the undecodable-payload sentinel."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    import pandas as pd
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (200, 10, 10)).save(buf, format="PNG")
+    df = pd.DataFrame({"id": [1, 2], "payload": [buf.getvalue(), b"junk"]})
+    out = RealImageDecode()(df)
+    assert list(out.columns) == ["id", "n_bytes", "width", "height",
+                                 "features"]
+    assert out["width"].tolist() == [32, -1]
+    assert out["height"].tolist() == [16, -1]
+    assert len(out["features"][0]) == 64
+    assert 0.0 <= out["features"][0].min() <= out["features"][0].max() <= 1.0
+    assert (out["features"][1] == 0).all()
 
 
 def test_feature_pipeline(ray_session):

@@ -365,3 +365,47 @@ def test_contamination_screen_hashed_equals_string(ray_session):
     )
     assert a.equals(h)
     assert (a.loc[a.doc_id < 20, "n_hits"] > 0).all()  # bench ⊂ corpus
+
+
+def test_merges_file_vocab_hook(tmp_path):
+    """TokenCountStage(merges_path=...) loads a GPT-2-style merges.txt once
+    per actor; a file holding the pinned table reproduces the default
+    counts exactly, a different vocab changes them, and the parser skips
+    headers / rejects malformed lines."""
+    import pandas as pd
+    import pytest
+
+    from cryptowalletcommunitydetection_ray.functions.textstats import (
+        BPE_MERGES,
+        load_merges_file,
+    )
+    from cryptowalletcommunitydetection_ray.stages.text import TokenCountStage
+
+    same = tmp_path / "merges_same.txt"
+    same.write_text(
+        "#version: pinned\n"
+        + "\n".join(f"{a} {b}" for a, b in BPE_MERGES)
+        + "\n"
+    )
+    assert load_merges_file(str(same)) == BPE_MERGES
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["the thing in there", "and another and"]}
+    )
+    default = TokenCountStage()(df)
+    via_file = TokenCountStage(merges_path=str(same))(df)
+    assert default["n_bpe_real"].tolist() == via_file["n_bpe_real"].tolist()
+
+    other = tmp_path / "merges_other.txt"
+    other.write_text("")  # empty vocab: no merges at all -> more symbols
+    no_merges = TokenCountStage(merges_path=str(other))(df)
+    assert (
+        no_merges["n_bpe_real"].to_numpy() > default["n_bpe_real"].to_numpy()
+    ).all()
+    # non-BPE columns are vocab-independent
+    assert default["n_ws_tokens"].tolist() == no_merges["n_ws_tokens"].tolist()
+
+    bad = tmp_path / "merges_bad.txt"
+    bad.write_text("a b c\n")
+    with pytest.raises(ValueError, match="malformed"):
+        load_merges_file(str(bad))
