@@ -220,26 +220,29 @@ def token_topk(
 
     from ray.data.aggregate import Sum
 
-    def partial_counts(df: pd.DataFrame) -> pa.Table:
-        # C-level whitespace split (≡ WS_TOKEN_RE.findall); the flatten is
-        # a pointer-level comprehension, the counting one np.unique
-        toks = [
-            t for ls in df[text_col].fillna("").str.split() for t in ls
-        ]
-        if not toks:
+    def partial_counts(t: pa.Table) -> pa.Table:
+        # all-Arrow: split/flatten/count run C kernels over the batch's
+        # string buffers — token bytes never become Python objects
+        # (utf8_split_whitespace emits "" at whitespace boundaries, unlike
+        # pandas str.split — filtered to keep tokenization pinned)
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        flat = pc.list_flatten(pc.utf8_split_whitespace(col))
+        flat = pc.filter(flat, pc.not_equal(flat, ""))
+        if len(flat) == 0:
             return pa.table(
                 {"token": pa.array([], pa.string()),
                  "n_part": pa.array([], pa.int64())}
             )
-        u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        vc = pc.value_counts(flat)
         return pa.table(
-            {"token": pa.array(u.tolist(), pa.string()),
-             "n_part": pa.array(c, pa.int64())}
+            {"token": vc.field("values"), "n_part": vc.field("counts")}
         )
 
     counts = (
         docs.select_columns([text_col])
-        .map_batches(partial_counts, batch_format="pandas")
+        .map_batches(partial_counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n_part", alias_name="n"))
     )
@@ -283,28 +286,37 @@ def inverted_index(
 
     num_partitions = _resolve_partitions(docs, num_partitions)
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # C-level whitespace split (≡ WS_TOKEN_RE.findall), then ONE
-        # hash-based drop_duplicates over the flat (doc, token) stream
-        # replaces the per-doc set() builds
-        lists = df[text_col].fillna("").str.split()
-        lens = lists.str.len().to_numpy().astype(np.int64)
-        toks = np.array(
-            [tok for ls in lists for tok in ls], dtype=object
+    def pairs(t: pa.Table) -> pa.Table:
+        # all-Arrow flatten + DISTINCT: split/flatten/parent-index/group_by
+        # are C kernels, so per-occurrence token bytes never become Python
+        # objects; only the batch's UNIQUE tokens (dictionary_encode) are
+        # materialized once for the hash64 partition routing
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        lists = pc.utf8_split_whitespace(col)
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        mask = pc.not_equal(flat, "")
+        flat = pc.filter(flat, mask)
+        parent = pc.filter(parent, mask)
+        ids = pc.take(pc.cast(t[id_col], pa.int64()), parent)
+        distinct = (
+            pa.table({"token": flat, id_col: ids})
+            .group_by(["token", id_col])
+            .aggregate([])
         )
-        out = pd.DataFrame(
-            {
-                "token": toks,
-                id_col: np.repeat(
-                    df[id_col].to_numpy().astype(np.int64), lens
-                ),
-            }
-        ).drop_duplicates()
-        t = out["token"].to_numpy()
-        out[_PART] = (
-            hash64(t).astype(np.uint64) % np.uint64(num_partitions)
-        ).astype(np.int32) if len(out) else np.array([], np.int32)
-        return out
+        d = distinct["token"].combine_chunks().dictionary_encode()
+        uniq = d.dictionary.to_numpy(zero_copy_only=False)
+        hpart = (
+            hash64(uniq).astype(np.uint64) % np.uint64(num_partitions)
+        ).astype(np.int32)
+        part = (
+            hpart[d.indices.to_numpy()]
+            if len(distinct)
+            else np.array([], np.int32)
+        )
+        return distinct.append_column(_PART, pa.array(part, pa.int32()))
 
     def collect_part(g: pd.DataFrame) -> pa.Table:
         g = g[["token", id_col]].drop_duplicates().sort_values(
@@ -342,7 +354,7 @@ def inverted_index(
 
     return (
         docs.select_columns([id_col, text_col])
-        .map_batches(pairs, batch_format="pandas")
+        .map_batches(pairs, batch_format="pyarrow")
         .groupby(_PART)
         .map_groups(collect_part, batch_format="pandas")
     )
