@@ -950,11 +950,16 @@ def type_profile(
     *,
     type_col: str = "event_type",
     user_col: str = "user_id",
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Per event type: total events + distinct users (A4 per-project counts
-    — ``databases/mongodb.py:212-234``).  Two-phase: per-batch (type, user,
-    partial count) combine, then one small groupby — the hot-key (only 5
-    event types) never sees raw rows."""
+    — ``databases/mongodb.py:212-234``).  Three-phase: per-batch
+    (type, user, partial count) combine; then a USER-hash-partitioned
+    distinct pass (users are disjoint across partitions, so per-partition
+    ``nunique`` sums exactly — the per-type group never materializes all
+    of a type's distinct users in one task); then a final groupby over
+    ≤ num_partitions tiny pre-aggregated rows per type."""
+    num_partitions = _resolve_partitions(events, num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -963,21 +968,31 @@ def type_profile(
             .rename("partial")
             .reset_index()
         )
+        out[_PART] = _hash_part(out[user_col].to_numpy(), num_partitions)
         return out
 
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        gg = (
+            g.groupby(type_col, sort=False)
+            .agg(n_events=("partial", "sum"), n_users=(user_col, "nunique"))
+            .reset_index()
+        )
+        return gg
+
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(user_col)["partial"].sum()
         return pd.DataFrame(
             {
                 type_col: [g[type_col].iloc[0]],
-                "n_events": [np.int64(gg.sum())],
-                "n_users": [np.int64(len(gg))],
+                "n_events": [np.int64(g["n_events"].sum())],
+                "n_users": [np.int64(g["n_users"].sum())],
             }
         )
 
     return (
         events.select_columns([type_col, user_col])
         .map_batches(partial, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(per_part, batch_format="pandas")
         .groupby(type_col)
         .map_groups(merge, batch_format="pandas")
     )
