@@ -44,6 +44,41 @@ def hash64(values) -> np.ndarray:
     )
 
 
+_NULL_ROUTE_BITS = np.uint64(0x9E3779B97F4A7C15)
+
+
+def numeric_route_bits(vals: np.ndarray) -> np.ndarray:
+    """Canonical uint64 routing bits of a NUMERIC key array, stable under
+    pandas null-promotion (review r5): an Arrow int64 column whose batch
+    contains a null arrives in pandas as float64, so a per-batch
+    dtype branch routes the same key to different partitions in promoted
+    vs null-free batches.  The decision here is PER-VALUE, not per-dtype:
+
+    - int/uint arrays: the raw two's-complement bits;
+    - float arrays: integral values (the promotion case) yield the SAME
+      bits as their int64 form; fractional values hash their normalized
+      float64 bit pattern (−0.0 → +0.0, so 0-keys collide as they
+      should); NaN/null gets a fixed sentinel.
+
+    Equal keys therefore produce equal bits in every batch regardless of
+    promotion.  (Integer keys with |v| ≥ 2⁵³ in a NULLABLE column lose
+    float64 precision at the pandas layer itself — nothing downstream of
+    the promotion can recover them; such keys must be non-null, as every
+    internally generated vid/label column is.)
+    """
+    vals = np.asarray(vals)
+    if vals.dtype.kind in "iu":
+        return vals.astype(np.uint64)
+    v = vals.astype(np.float64)
+    nan = np.isnan(v)
+    v = np.where(nan | (v == 0.0), 0.0, v)  # NaN parked; −0.0 → +0.0
+    integral = (v == np.rint(v)) & (np.abs(v) < 2.0**63)
+    ibits = np.where(integral, v, 0.0).astype(np.int64).astype(np.uint64)
+    u = np.where(integral, ibits, v.view(np.uint64))
+    u[nan] = _NULL_ROUTE_BITS
+    return u
+
+
 def partition_of(vids: np.ndarray, num_partitions: int) -> np.ndarray:
     """Owning shard of each vertex id: ``uint64(vid) % P`` (uniform bits).
 

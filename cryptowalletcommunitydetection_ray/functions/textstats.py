@@ -84,7 +84,10 @@ def load_merges_file(path: str) -> list[tuple[str, str]]:
     merges: list[tuple[str, str]] = []
     with open(path, encoding="utf-8") as f:
         for line in f:
-            line = line.rstrip("\n")
+            # rstrip CRLF too: a merges.txt saved with Windows line
+            # endings would otherwise leave \r on every right-hand
+            # symbol, silently matching no merge and inflating counts
+            line = line.rstrip("\r\n")
             if not line or line.startswith("#"):
                 continue
             parts = line.split(" ")

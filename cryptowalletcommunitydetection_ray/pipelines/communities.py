@@ -25,8 +25,9 @@ Scale notes: member collection is a single hash-partition shuffle of the
 ``num_partitions`` groups (size-scaled by default, see
 ``relational._resolve_partitions``) and EVERY community of a partition
 collects in one vectorized call (segment offsets → Arrow ListArrays —
-offsets upgrade to ``large_list``/int64 automatically when a partition's
-member rows overflow int32, no per-label Python); the edge-list variant
+``large_members=True`` selects ``large_list``/int64 offsets uniformly
+when a partition's member rows can overflow int32, no per-label Python);
+the edge-list variant
 reshuffles edges once and is optional.
 ``top_communities`` re-expresses the reference's Mongo group query + sort
 (``databases/mongodb.py:259-275``).
@@ -48,6 +49,7 @@ def _collect_communities(
     chain: str,
     require_both_sides: bool = True,
     num_partitions: int | None = None,
+    large_members: bool = False,
 ) -> rd.Dataset:
     """(vid, url, is_user, label) rows → one row per community.
 
@@ -55,7 +57,15 @@ def _collect_communities(
     merges the user and deposit lists with an INNER join
     (``services/wallet_clustering.py:47``), so a component with zero
     deposit members (e.g. a pure src-src cycle) never emits a row; pass
-    ``False`` to keep every component."""
+    ``False`` to keep every component.
+
+    ``large_members`` selects ``large_list`` (int64 offsets) member
+    columns for corpora where one hash partition's member rows can exceed
+    2³¹ (possible at 10¹²-edge scale).  The choice is a PARAMETER, not a
+    per-task auto-upgrade, so every task emits the same Arrow schema —
+    blocks with mixed list/large_list columns would fail downstream
+    unification.  Without the flag an int32 offset overflow raises
+    loudly instead of silently diverging the schema."""
 
     # partitioned-vectorized: labels hash-route to ``num_partitions``
     # groups and EVERY community of a partition collects in one call —
@@ -99,14 +109,21 @@ def _collect_communities(
         d_off = np.r_[0, np.cumsum(num_depo[keep])]
         n_out = int(keep.sum())
 
-        # list<int32 offsets> while a partition's member rows fit (the
-        # schema every oracle pins); auto-upgrade to large_list/int64 when
-        # they overflow int32 (ADVICE r4 — possible at 10^12-edge scale)
+        # list<int32 offsets> by default (the schema every oracle pins);
+        # large_list/int64 when the caller opted in — uniform across ALL
+        # tasks either way (ADVICE r4 / review r5: a per-task auto-upgrade
+        # emits mixed schemas exactly when the overflow it handles occurs)
         def _list_arr(off: np.ndarray, vals: np.ndarray) -> pa.Array:
-            if len(off) and off[-1] > np.iinfo(np.int32).max:
+            if large_members:
                 return pa.LargeListArray.from_arrays(
                     pa.array(off.astype(np.int64)),
                     pa.array(vals, pa.string()),
+                )
+            if len(off) and off[-1] > np.iinfo(np.int32).max:
+                raise OverflowError(
+                    "community member list overflows int32 offsets in one "
+                    "hash partition; re-run with large_members=True (and/or "
+                    "a larger num_partitions)"
                 )
             return pa.ListArray.from_arrays(
                 pa.array(off.astype(np.int32)), pa.array(vals, pa.string())
@@ -138,6 +155,7 @@ def community_members_from_pool(
     chain: str = "web",
     pool_size: int | None = None,
     require_both_sides: bool = True,
+    large_members: bool = False,
 ) -> rd.Dataset:
     """Fast path: read labeled vertices straight out of the converged CC
     shard states — the label⋈attributes "join" is partition-local and free
@@ -157,7 +175,9 @@ def community_members_from_pool(
     tagged = rd.from_arrow_refs(
         [s.call.remote("cc", "get_labeled_vertices") for s in shards]
     )
-    return _collect_communities(tagged, chain, require_both_sides)
+    return _collect_communities(
+        tagged, chain, require_both_sides, large_members=large_members
+    )
 
 
 def community_sizes(
@@ -225,6 +245,7 @@ def community_members(
     chain: str = "web",
     num_partitions: int | None = None,
     require_both_sides: bool = True,
+    large_members: bool = False,
 ) -> rd.Dataset:
     """Join CC labels with vertex attributes and collect one row per
     community.
@@ -244,7 +265,11 @@ def community_members(
     )
     tagged = verts.join(labels, "inner", P, on=("vid",))
     return _collect_communities(
-        tagged, chain, require_both_sides, num_partitions=num_partitions
+        tagged,
+        chain,
+        require_both_sides,
+        num_partitions=num_partitions,
+        large_members=large_members,
     )
 
 

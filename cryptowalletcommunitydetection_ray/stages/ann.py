@@ -318,15 +318,18 @@ def neardup_pairs_cosine(
     above-threshold) pair table materialized → the chunk ref dropped, so
     object-store residency is the materialized input + ONE normalized
     chunk + the accumulated pair tables — not every chunk at once — and
-    the upstream pipeline executes exactly once, not k+2 times (ADVICE
-    r4).  Each unordered pair is still emitted exactly once (pair
+    the upstream pipeline executes twice (a streaming count for the size
+    guard, then the materialize), not k+2 times (ADVICE r4).  Each unordered pair is still emitted exactly once (pair
     (x, y), x < y, appears only where the batch row is x and the chunk
     holds y).  Both paths emit identical rows (pinned by test_ann).
     Above ``hard_max_rows`` this raises — exact all-pairs is O(n²)
     compute and ``lsh_neardup_pairs_cosine`` is the scale path.
     """
-    src = embeddings.select_columns([id_col, emb_col]).materialize()
-    n = src.count()  # free: materialized metadata
+    lazy = embeddings.select_columns([id_col, emb_col])
+    # guard BEFORE materializing: count() streams (nothing retained), so
+    # an oversized corpus is rejected without first pinning n·dim·8 bytes
+    # into the object store (the exact failure the guard exists to stop)
+    n = lazy.count()
     if n > hard_max_rows:
         raise ValueError(
             f"neardup_pairs_cosine: {n} rows exceeds hard_max_rows="
@@ -334,6 +337,7 @@ def neardup_pairs_cosine(
             f"lsh_neardup_pairs_cosine (bucketed, capped) at this scale "
             f"or raise hard_max_rows explicitly"
         )
+    src = lazy.materialize()
 
     def _chunk_ref(df: pd.DataFrame):
         df = df.sort_values(id_col)

@@ -54,19 +54,39 @@ def digest128(values) -> tuple[np.ndarray, np.ndarray]:
     return d1.view(np.int64), d2.view(np.int64)
 
 
+def _col_str(s: pd.Series) -> np.ndarray:
+    """Canonical string form of one key column, stable under pandas
+    null-promotion (review r5): an int64 Arrow column whose batch holds a
+    null arrives as float64 and would stringify ``5`` as ``"5.0"`` —
+    a DIFFERENT composite key (hence digest / route) than the ``"5"`` of
+    a null-free batch.  Integral floats therefore print as integers;
+    fractional floats and everything else keep their plain ``str`` form."""
+    if s.dtype.kind != "f":
+        return s.astype(str).to_numpy()
+    v = s.to_numpy(dtype=np.float64)
+    nan = np.isnan(v)
+    safe = np.where(nan, 0.0, v)
+    integral = (safe == np.rint(safe)) & (np.abs(safe) < 2.0**63)
+    out = v.astype(str).astype(object)
+    ints = np.where(integral, safe, 0.0).astype(np.int64).astype(str)
+    out[integral] = ints[integral]
+    out[nan] = "nan"
+    return out
+
+
 def _composite_key(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
     """\\x1f-joined string key, built with Arrow's element-wise join (one
     C kernel over the whole batch) — not pandas ``agg(join, axis=1)``,
-    which invokes Python once per row.  Output strings are byte-identical
-    to the old per-row join (same ``astype(str)`` components)."""
+    which invokes Python once per row.  Components come from ``_col_str``
+    (promotion-canonical), matching the plain ``astype(str)`` form for
+    every non-promoted dtype."""
     if len(key_cols) == 1:
-        return df[key_cols[0]].astype(str).to_numpy()
+        return _col_str(df[key_cols[0]])
     import pyarrow as pa
     import pyarrow.compute as pc
 
     parts = [
-        pa.array(df[c].astype(str).to_numpy(), type=pa.string())
-        for c in key_cols
+        pa.array(_col_str(df[c]), type=pa.string()) for c in key_cols
     ]
     return pc.binary_join_element_wise(*parts, "\x1f").to_numpy(
         zero_copy_only=False
@@ -74,18 +94,24 @@ def _composite_key(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
 
 
 def _key_route_hash(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:
-    """uint64 partition-routing hash of the key tuple.  All-integer keys
+    """uint64 partition-routing hash of the key tuple.  All-NUMERIC keys
     (the LSH/SimHash/ANN candidate-pair tables and the edge (src, dst)
-    dedup — the hot paths) never touch strings: each column is splitmix64-
-    mixed into the accumulator, so equal tuples collide and order matters
-    (``(a, b) != (b, a)``).  Anything else falls back to hash64 of the
-    vectorized composite string key."""
+    dedup — the hot paths) never touch strings: each column's canonical
+    value bits (``context.numeric_route_bits`` — identical for an int64
+    batch and the float64 batch pandas null-promotion makes of it) are
+    splitmix64-mixed into the accumulator, so equal tuples collide and
+    order matters (``(a, b) != (b, a)``).  Anything else falls back to
+    hash64 of the vectorized composite string key.  Both branch tests are
+    dtype-KIND-stable across batches: a numeric Arrow column is numeric
+    (int or promoted-float) in every batch, a string column is object in
+    every batch — so one dataset's batches always take the same route."""
     from .bloom import _splitmix64
+    from ..context import numeric_route_bits
 
-    if all(df[c].dtype.kind in "ui" for c in key_cols):
+    if all(df[c].dtype.kind in "iuf" for c in key_cols):
         h = np.zeros(len(df), np.uint64)
         for c in key_cols:
-            h = _splitmix64(h ^ _splitmix64(df[c].to_numpy().astype(np.uint64)))
+            h = _splitmix64(h ^ _splitmix64(numeric_route_bits(df[c].to_numpy())))
         return h
     return hash64(_composite_key(df, key_cols)).astype(np.uint64)
 
@@ -173,10 +199,10 @@ def exact_dedup(
             df = df.sort_values(keep_order_col, kind="stable").drop_duplicates(
                 subset=key_cols, keep="first"
             )
-        if len(key_cols) == 1 and df[key_cols[0]].dtype.kind in "ui":
-            h = df[key_cols[0]].to_numpy().astype(np.uint64)
-        else:
-            h = _key_route_hash(df, key_cols)
+        # no per-dtype fast path: _key_route_hash's route choice is
+        # kind-stable across batches, so a null-promoted float64 batch of
+        # an int64 column routes each key exactly as the int64 batches do
+        h = _key_route_hash(df, key_cols)
         df = df.copy()
         df[_PART] = (h % np.uint64(num_partitions)).astype(np.int32)
         return df
@@ -419,9 +445,23 @@ def copartitioned_jaccard(
         doc_txt = g["text"].to_numpy()[is_doc]
         ub, b_codes = np.unique(b, return_inverse=True)
         o = np.argsort(doc_ids, kind="stable")
-        sh_b = shingle_hashes_batch(
-            doc_txt[o[np.searchsorted(doc_ids[o], ub)]].tolist(), shingle_k
+        sorted_ids = doc_ids[o]
+        pos = np.searchsorted(sorted_ids, ub)
+        # fail LOUDLY on a b-id with no doc row (stale pair table, pairs
+        # from a superset corpus): an unguarded searchsorted insertion
+        # point would silently shingle an unrelated document
+        bad = (pos >= len(sorted_ids)) | (
+            sorted_ids[np.minimum(pos, max(len(sorted_ids) - 1, 0))] != ub
+            if len(sorted_ids)
+            else np.ones(len(ub), dtype=bool)
         )
+        if bad.any():
+            raise KeyError(
+                f"copartitioned_jaccard: {int(bad.sum())} candidate-pair "
+                f"b-ids have no document row in this partition "
+                f"(first missing: {ub[bad][:3].tolist()})"
+            )
+        sh_b = shingle_hashes_batch(doc_txt[o[pos]].tolist(), shingle_k)
         inter, union = pair_intersection_counts(
             sh_a + sh_b, a_codes, b_codes + len(sh_a)
         )

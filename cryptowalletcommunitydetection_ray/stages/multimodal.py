@@ -103,6 +103,13 @@ class RealImageDecode:
         from PIL import Image, UnidentifiedImageError
 
         t = self.thumb
+        # DecompressionBombError subclasses Exception directly (not
+        # OSError), so it must be listed explicitly or one oversized
+        # image poisons the whole batch instead of getting the -1 sentinel
+        _bomb = getattr(Image, "DecompressionBombError", None)
+        _undecodable = (UnidentifiedImageError, OSError, ValueError) + (
+            (_bomb,) if _bomb is not None else ()
+        )
         widths = np.empty(len(df), dtype=np.int32)
         heights = np.empty(len(df), dtype=np.int32)
         feats: list[np.ndarray] = []
@@ -114,7 +121,7 @@ class RealImageDecode:
                 feats.append(
                     (np.asarray(small, dtype=np.float32) / 255.0).reshape(-1)
                 )
-            except (UnidentifiedImageError, OSError, ValueError):
+            except _undecodable:
                 widths[j] = heights[j] = -1
                 feats.append(np.zeros(t * t, dtype=np.float32))
         return pd.DataFrame(

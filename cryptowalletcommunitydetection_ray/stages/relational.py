@@ -26,18 +26,23 @@ _PART = "__part"
 
 
 def _hash_part(vals: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Partition id from a key array: integer keys use their own uint64
-    bits, everything else hashes its string form.  The backbone of the
-    partitioned-vectorized pattern (below): group on ``__part`` and
-    process EVERY key of the partition in one vectorized call, instead of
-    ``groupby(key).map_groups(fn)``'s one interpreter round-trip per key
-    (10⁸ keys = 10⁸ Python calls — the classic map_groups overhead trap;
-    see ``dedup.exact_dedup``)."""
-    from ..context import hash64
+    """Partition id from a key array: NUMERIC keys route by their
+    canonical value bits (``context.numeric_route_bits`` — stable under
+    pandas null-promotion, where an int64 column with a null in SOME
+    batches arrives as float64 in exactly those batches; a per-dtype
+    branch would split one key across partitions and silently break
+    per-partition-disjoint invariants like ``type_profile``'s summed
+    nunique).  Everything non-numeric hashes its string form.  The
+    backbone of the partitioned-vectorized pattern (below): group on
+    ``__part`` and process EVERY key of the partition in one vectorized
+    call, instead of ``groupby(key).map_groups(fn)``'s one interpreter
+    round-trip per key (10⁸ keys = 10⁸ Python calls — the classic
+    map_groups overhead trap; see ``dedup.exact_dedup``)."""
+    from ..context import hash64, numeric_route_bits
 
     vals = np.asarray(vals)
-    if vals.dtype.kind in "iu":
-        u = vals.astype(np.uint64)
+    if vals.dtype.kind in "iuf":
+        u = numeric_route_bits(vals)
     else:
         u = hash64(vals.astype(object)).astype(np.uint64)
     return (u % np.uint64(num_partitions)).astype(np.int32)

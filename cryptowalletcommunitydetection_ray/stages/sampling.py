@@ -209,12 +209,12 @@ def cap_per_key(
         sort_cols = [hash_col, *order_cols]
 
     def _part_of(keys: np.ndarray) -> np.ndarray:
-        keys = np.asarray(keys)
-        if keys.dtype.kind in "iu":
-            u = keys.astype(np.uint64)
-        else:
-            u = hash64(keys.astype(object)).astype(np.uint64)
-        return (u % np.uint64(num_partitions)).astype(np.int32)
+        # promotion-canonical routing (see relational._hash_part): an
+        # int64 key column arriving as float64 in null-bearing batches
+        # must route each key exactly as in its null-free batches
+        from .relational import _hash_part
+
+        return _hash_part(np.asarray(keys), num_partitions)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if salt is not None:

@@ -265,9 +265,27 @@ def main(argv=None):
         # output — write_parquet appends to a non-empty directory, and
         # counting the whole directory silently inflates rows_out with
         # stale files from a previous run (ADVICE r4)
-        pre = (
-            set(os.listdir(args.out)) if os.path.isdir(args.out) else set()
+        # pyarrow.fs handles local paths AND remote URIs (s3://, hdfs://)
+        # the same way write_parquet does — os.listdir would crash on any
+        # non-local --out after the output was already written
+        from pyarrow import fs as pafs
+
+        out_fs, out_root = pafs.FileSystem.from_uri(
+            args.out if "://" in args.out else os.path.abspath(args.out)
         )
+
+        def _list_out() -> set:
+            try:
+                infos = out_fs.get_file_info(
+                    pafs.FileSelector(out_root, recursive=True)
+                )
+            except FileNotFoundError:
+                return set()
+            return {
+                i.path for i in infos if i.type == pafs.FileType.File
+            }
+
+        pre = _list_out()
         result_ds.write_parquet(args.out)
         metrics["out"] = args.out
         if args.cmd == "screen":
@@ -275,13 +293,11 @@ def main(argv=None):
             # files' parquet metadata (no re-read)
             import pyarrow.dataset as pads
 
-            new_files = [
-                os.path.join(args.out, f)
-                for f in os.listdir(args.out)
-                if f not in pre
-            ]
+            new_files = sorted(_list_out() - pre)
             metrics["rows_out"] = (
-                pads.dataset(new_files).count_rows() if new_files else 0
+                pads.dataset(new_files, filesystem=out_fs).count_rows()
+                if new_files
+                else 0
             )
             if pre:
                 metrics["stale_files_ignored"] = len(pre)

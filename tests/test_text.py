@@ -409,3 +409,13 @@ def test_merges_file_vocab_hook(tmp_path):
     bad.write_text("a b c\n")
     with pytest.raises(ValueError, match="malformed"):
         load_merges_file(str(bad))
+
+    # CRLF endings must parse identically to LF (review r5: a stray \r on
+    # every right-hand symbol silently matched no merge at all)
+    crlf = tmp_path / "merges_crlf.txt"
+    crlf.write_bytes(
+        b"#version: pinned\r\n"
+        + b"\r\n".join(f"{a} {b}".encode() for a, b in BPE_MERGES)
+        + b"\r\n"
+    )
+    assert load_merges_file(str(crlf)) == BPE_MERGES
