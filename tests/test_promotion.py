@@ -152,3 +152,57 @@ def test_collect_communities_large_members_schema(ray_session):
     # same values either way
     assert small.to_pandas()["user_wallets"].map(list).tolist() == \
         big.to_pandas()["user_wallets"].map(list).tolist()
+
+
+# ---------------------------------------------------------------------------
+# property tests: the promotion-canonical invariants hold for ARBITRARY keys
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# int64 values exactly representable in float64 (what promotion preserves)
+_promotable = st.integers(min_value=-(2**53), max_value=2**53)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_promotable, min_size=1, max_size=50))
+def test_prop_route_bits_promotion_invariant(keys):
+    ints = np.array(keys, dtype=np.int64)
+    floats = ints.astype(np.float64)
+    assert np.array_equal(
+        numeric_route_bits(ints), numeric_route_bits(floats)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_promotable, min_size=1, max_size=50))
+def test_prop_composite_key_promotion_invariant(keys):
+    df_int = pd.DataFrame({"a": np.array(keys, dtype=np.int64)})
+    df_flt = df_int.astype(np.float64)
+    assert np.array_equal(
+        _composite_key(df_int, ["a"]), _composite_key(df_flt, ["a"])
+    )
+    # canonical form matches the plain int stringification
+    assert list(_composite_key(df_int, ["a"])) == [str(k) for k in keys]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_prop_route_bits_float_equal_values_equal_bits(vals):
+    # equal VALUES get equal bits regardless of array position/order,
+    # and bits are deterministic across calls
+    v = np.array(vals, dtype=np.float64)
+    b1, b2 = numeric_route_bits(v), numeric_route_bits(v[::-1].copy())[::-1]
+    assert np.array_equal(b1, b2)
+    # value-equality implies bit-equality (NaN keys all share the sentinel)
+    for i in range(len(v)):
+        for j in range(i + 1, len(v)):
+            if v[i] == v[j] or (np.isnan(v[i]) and np.isnan(v[j])):
+                assert b1[i] == b1[j]
