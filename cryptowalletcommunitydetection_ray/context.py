@@ -79,6 +79,29 @@ def numeric_route_bits(vals: np.ndarray) -> np.ndarray:
     return u
 
 
+def canonical_key_str(vals: np.ndarray) -> np.ndarray:
+    """Canonical string form of a NUMERIC key array, stable under pandas
+    null-promotion (the string twin of ``numeric_route_bits``): integral
+    floats — what promotion makes of int64 values — print as integers
+    (``"5"``, never ``"5.0"``), NaN/null prints ``"nan"``, fractional
+    floats keep their plain ``str`` form.  Used wherever keys are MATCHED
+    by their string form across batches (Bloom build/probe, composite
+    dedup keys); plain value-column formatting keeps ordinary ``str``.
+    Returns an object array of Python strings."""
+    vals = np.asarray(vals)
+    if vals.dtype.kind != "f":
+        return vals.astype(str).astype(object)
+    v = vals.astype(np.float64)
+    nan = np.isnan(v)
+    safe = np.where(nan, 0.0, v)
+    integral = (safe == np.rint(safe)) & (np.abs(safe) < 2.0**63)
+    out = v.astype(str).astype(object)
+    ints = np.where(integral, safe, 0.0).astype(np.int64).astype(str)
+    out[integral] = ints[integral]
+    out[nan] = "nan"
+    return out
+
+
 def partition_of(vids: np.ndarray, num_partitions: int) -> np.ndarray:
     """Owning shard of each vertex id: ``uint64(vid) % P`` (uniform bits).
 

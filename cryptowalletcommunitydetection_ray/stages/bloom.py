@@ -51,12 +51,23 @@ def _probe_positions(h1: np.ndarray, k_hashes: int, m_bits: int):
 def _key_hashes(values, salt: str) -> np.ndarray:
     """hash64 of salt-prefixed keys.  String keys take the vectorized
     np.char path (no per-row Python formatting in the probe hot loop);
-    other dtypes fall back to per-row str()."""
+    NUMERIC keys stringify canonically (``context.canonical_key_str`` —
+    review r5: an int64 key column null-promoted to float64 in SOME
+    blocks would hash ``5`` as ``"5.0"`` there but ``"5"`` in null-free
+    blocks, so a seen key could silently LEAK through the screen when
+    build and probe blocks promote differently); other dtypes fall back
+    to per-row str()."""
+    from ..context import canonical_key_str
+
     arr = np.asarray(values)
     if arr.dtype.kind in ("U", "S") or (
         arr.dtype == object and len(arr) and isinstance(arr[0], str)
     ):
         salted = np.char.add(f"{salt}\x1f", arr.astype(str)).astype(object)
+    elif arr.dtype.kind in "iuf":
+        salted = np.char.add(
+            f"{salt}\x1f", canonical_key_str(arr).astype(str)
+        ).astype(object)
     else:
         salted = np.array(
             [f"{salt}\x1f{v}" for v in values], dtype=object

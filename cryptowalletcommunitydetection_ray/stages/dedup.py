@@ -59,19 +59,14 @@ def _col_str(s: pd.Series) -> np.ndarray:
     null-promotion (review r5): an int64 Arrow column whose batch holds a
     null arrives as float64 and would stringify ``5`` as ``"5.0"`` —
     a DIFFERENT composite key (hence digest / route) than the ``"5"`` of
-    a null-free batch.  Integral floats therefore print as integers;
-    fractional floats and everything else keep their plain ``str`` form."""
+    a null-free batch.  Delegates to ``context.canonical_key_str``
+    (integral floats print as integers; everything else keeps its plain
+    ``str`` form)."""
+    from ..context import canonical_key_str
+
     if s.dtype.kind != "f":
         return s.astype(str).to_numpy()
-    v = s.to_numpy(dtype=np.float64)
-    nan = np.isnan(v)
-    safe = np.where(nan, 0.0, v)
-    integral = (safe == np.rint(safe)) & (np.abs(safe) < 2.0**63)
-    out = v.astype(str).astype(object)
-    ints = np.where(integral, safe, 0.0).astype(np.int64).astype(str)
-    out[integral] = ints[integral]
-    out[nan] = "nan"
-    return out
+    return canonical_key_str(s.to_numpy())
 
 
 def _composite_key(df: pd.DataFrame, key_cols: Sequence[str]) -> np.ndarray:

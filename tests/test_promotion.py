@@ -206,3 +206,24 @@ def test_prop_route_bits_float_equal_values_equal_bits(vals):
         for j in range(i + 1, len(v)):
             if v[i] == v[j] or (np.isnan(v[i]) and np.isnan(v[j])):
                 assert b1[i] == b1[j]
+
+
+def test_bloom_screen_across_mixed_dtype_blocks(ray_session):
+    # a seen key sitting next to a null (promoted block) must still be
+    # dropped by the screen — "5" and "5.0" hashing differently would
+    # silently LEAK the seen key through
+    from cryptowalletcommunitydetection_ray.stages.bloom import (
+        bloom_screen,
+        build_bloom,
+    )
+
+    seen = rd.from_arrow(pa.table({"k": pa.array([5, 6], pa.int64())}))
+    docs = _mixed_blocks_ds(
+        {"k": pa.array([5, 7], pa.int64())},
+        {"k": pa.array([6, None], pa.int64())},  # promoted block
+    )
+    bloom = build_bloom(seen, "k")
+    out = bloom_screen(docs, bloom, "k", drop_seen=True).to_pandas()
+    kept = set(out["k"].dropna().astype(np.int64).tolist())
+    assert 5 not in kept and 6 not in kept  # both seen keys dropped
+    assert 7 in kept
