@@ -48,6 +48,10 @@ def main(argv=None):
         if name in ("pagerank", "cc"):
             p.add_argument("--checkpoint", default=None)
             p.add_argument("--resume", action="store_true")
+            p.add_argument("--max-supersteps", type=int, default=200,
+                           help="cap the superstep loop (with --checkpoint "
+                                "+ --resume, a capped run continues at "
+                                "iteration k+1)")
         if name == "pagerank":
             p.add_argument("--alpha", type=float, default=0.85)
             p.add_argument("--tol", type=float, default=1e-10)
@@ -147,6 +151,7 @@ def main(argv=None):
             args.graph,
             alpha=args.alpha,
             tol=args.tol,
+            max_iter=args.max_supersteps,
             checkpoint_dir=args.checkpoint,
             resume=args.resume,
         )
@@ -156,7 +161,10 @@ def main(argv=None):
         )
 
         result_ds, metrics = connected_components(
-            args.graph, checkpoint_dir=args.checkpoint, resume=args.resume
+            args.graph,
+            max_iter=args.max_supersteps,
+            checkpoint_dir=args.checkpoint,
+            resume=args.resume,
         )
     elif args.cmd == "lpa":
         from cryptowalletcommunitydetection_ray.pipelines.labelprop import (

@@ -32,6 +32,13 @@ out["build"] = cap(["build", "--pages-dir", f"{base}/pages",
                     "--graph", f"{base}/g", "--partitions", "2"])
 out["pagerank"] = cap(["pagerank", "--graph", f"{base}/g"])
 out["cc"] = cap(["cc", "--graph", f"{base}/g"])
+# capped run then --resume: continues from the checkpoint instead of
+# starting over (the north-rule mid-convergence resume, CLI-drivable)
+out["cc_capped"] = cap(["cc", "--graph", f"{base}/g",
+                        "--checkpoint", f"{base}/ck",
+                        "--max-supersteps", "2"])
+out["cc_resumed"] = cap(["cc", "--graph", f"{base}/g",
+                         "--checkpoint", f"{base}/ck", "--resume"])
 out["communities"] = cap(["communities", "--graph", f"{base}/g",
                           "--min-user", "1", "--top", "3"])
 out["triangles"] = cap(["triangles", "--graph", f"{base}/g"])
@@ -103,6 +110,16 @@ def test_cli_end_to_end():
     assert out["pagerank"]["rows"] == 400
     assert out["pagerank"]["supersteps_run"] > 1
     assert out["cc"]["rows"] == 400
+    # capped at 2 supersteps, then --resume finishes the remainder from
+    # the checkpoint: same final iteration as the uncapped run, fewer
+    # supersteps run in the resumed process than from scratch
+    assert out["cc_capped"]["supersteps_run"] == 2
+    assert (
+        out["cc_resumed"]["last_iteration"] == out["cc"]["last_iteration"]
+    )
+    assert (
+        out["cc_resumed"]["supersteps_run"] < out["cc"]["supersteps_run"]
+    )
     assert out["communities"]["rows"] <= 3
     assert out["triangles"]["rows"] == 400
     assert out["dedup"]["algorithm"] == "minhash_dedup"
