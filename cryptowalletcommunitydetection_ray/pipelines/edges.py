@@ -142,17 +142,26 @@ def build_graph_from_edges(
     """Materialize all graph artifacts from a raw (src, dst, src_url,
     dst_url) Dataset; returns the meta dict.
 
-    ONE shuffle total: each raw edge is tagged into THREE routed rows —
-    the directed edge (→ subpartition src%SP, carrying both urls) and the
-    two undirected orientations (each carrying its own src endpoint's url +
-    side rank, → src%SP) — then a single ``groupby(part)`` delivers every
-    subpartition's rows to one task, which dedups each artifact vectorized,
-    DERIVES the vertex table from its und rows (every vertex appears as an
-    und-src in its own subpartition; min side rank = is_user), and writes
-    its partition files directly (tmp + atomic rename, so a crashed build
-    never leaves a half-written partition and a re-run is idempotent —
-    tested in tests/test_properties.py).  Partition counts come back as the
-    group results — no post-hoc metadata scans.
+    ONE shuffle total: each raw edge is tagged into TWO routed rows —
+    a BOTH row (the directed edge AND its src-side undirected orientation
+    in one: → subpartition src%SP, carrying both urls) and a REV row (the
+    dst-side undirected orientation: → dst%SP, carrying the dst url, and
+    only on the batch's FIRST occurrence of that dst — repeats ship null,
+    since the url is only needed once per vertex per partition) — then a
+    single ``groupby(part)`` delivers every subpartition's rows to one
+    task, which dedups each artifact vectorized, DERIVES the vertex table
+    from the rows it receives (every vertex appears as row-src in its own
+    subpartition; any BOTH row = appears as a directed src = is_user), and
+    writes its partition files directly (tmp + atomic rename, so a crashed
+    build never leaves a half-written partition and a re-run is idempotent
+    — tested in tests/test_properties.py).  Partition counts come back as
+    the group results — no post-hoc metadata scans.
+
+    Shuffle-byte accounting (the engine's ONE all-to-all, the measured
+    single-box bottleneck at the 8 M-page corpus — BASELINE.md batch
+    r5l): vs the previous 3-rows/edge layout this ships 2 rows and
+    ~2.1 url payloads per edge instead of 3 rows / 4 url payloads —
+    roughly a 35-45 % byte cut at mean-url-length ≈ row-overhead scale.
 
     ``num_partitions`` here is SP, the STORAGE subpartition count: it sets
     reduce-stage parallelism and bounds per-task memory (a subpartition's
@@ -167,7 +176,10 @@ def build_graph_from_edges(
     close_pool(graph_dir)
     P = num_partitions
 
-    KIND_EDGE, KIND_UND = 0, 1
+    # kind doubles as the vertex side rank: BOTH rows (0) mean the row's
+    # src endpoint appears as a DIRECTED src (is_user); REV rows (1) mean
+    # it appears only as a destination.
+    KIND_BOTH, KIND_REV = 0, 1
 
     def _first_uniq_pairs(x: np.ndarray, y: np.ndarray) -> np.ndarray:
         """Indices of the FIRST occurrence of each distinct (x, y) pair, in
@@ -195,7 +207,9 @@ def build_graph_from_edges(
     def tag(t: pa.Table) -> pa.Table:
         # local pre-dedup shrinks the shuffle; Arrow-native throughout —
         # the url strings are take'd/concatenated as Arrow buffers and
-        # never become Python objects (this stage touches every edge 3x)
+        # never become Python objects (this stage touches every edge 2x)
+        import pyarrow.compute as pc
+
         s0 = t["src"].to_numpy(zero_copy_only=False)
         d0 = t["dst"].to_numpy(zero_copy_only=False)
         keep = _first_uniq_pairs(s0, d0)
@@ -204,21 +218,22 @@ def build_graph_from_edges(
         d = t["dst"].to_numpy(zero_copy_only=False)
         su, du = _plain(t["src_url"]), _plain(t["dst_url"])
         n = len(t)
-        # 3 routed rows per edge: the directed edge (with both urls) and the
-        # two undirected orientations, each carrying ITS OWN src endpoint's
-        # url + side rank — partition p's vertex table is derived from the
-        # und rows it receives (every vertex appears as und-src in its own
-        # partition), so no separate vertex rows travel.
-        a = np.concatenate([s, s, d])
-        b = np.concatenate([d, d, s])
-        empty = pa.nulls(n, pa.string()).fill_null("")
-        url = pa.chunked_array([su, su, du])
-        url2 = pa.chunked_array([du, empty, empty])
-        kind = np.repeat(np.array([KIND_EDGE, KIND_UND, KIND_UND], np.int8), n)
-        # side rank 0 = this endpoint appears as a directed src (is_user)
-        rank = np.concatenate(
-            [np.zeros(2 * n, np.int8), np.ones(n, np.int8)]
+        # 2 routed rows per edge: the BOTH row (directed edge + src-side
+        # und orientation, with both urls) and the REV row (dst-side und
+        # orientation, carrying the dst url only on the batch's first
+        # occurrence of that dst — a vertex url is needed once per
+        # partition, not once per in-edge).  Partition p's vertex table is
+        # derived from the rows it receives (every vertex appears as
+        # row-src in its own partition), so no separate vertex rows travel.
+        a = np.concatenate([s, d])
+        b = np.concatenate([d, s])
+        du_first = ~pd.Series(d).duplicated().to_numpy()
+        du_masked = pc.if_else(
+            pa.array(du_first), du, pa.scalar(None, pa.string())
         )
+        url = pa.chunked_array([su, du_masked])
+        url2 = pa.chunked_array([du, pa.nulls(n, pa.string())])
+        kind = np.repeat(np.array([KIND_BOTH, KIND_REV], np.int8), n)
         part = (a.astype(np.uint64) % np.uint64(P)).astype(np.int32)
         return pa.table(
             {
@@ -228,18 +243,19 @@ def build_graph_from_edges(
                 "b": pa.array(b),
                 "url": url,
                 "url2": url2,
-                "rank": pa.array(rank),
             }
         )
 
     def write_part(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         g = g.combine_chunks()
         p = int(g["part"][0].as_py())
         kind = g["kind"].to_numpy(zero_copy_only=False)
         a = g["a"].to_numpy(zero_copy_only=False)
         b = g["b"].to_numpy(zero_copy_only=False)
         counts = {}
-        e_rows = np.flatnonzero(kind == KIND_EDGE)
+        e_rows = np.flatnonzero(kind == KIND_BOTH)
         e_idx = e_rows[_first_uniq_pairs(a[e_rows], b[e_rows])]
         e = g.take(pa.array(e_idx))
         _atomic_write(
@@ -254,21 +270,25 @@ def build_graph_from_edges(
             ),
         )
         counts["e"] = len(e)
-        u_rows = np.flatnonzero(kind == KIND_UND)
-        u_idx = u_rows[_first_uniq_pairs(a[u_rows], b[u_rows])]
+        # und: EVERY row carries one orientation — BOTH rows (src,dst),
+        # REV rows (dst,src) — so the und artifact is a dedup over all rows
+        u_idx = _first_uniq_pairs(a, b)
         u = g.take(pa.array(u_idx))
         _atomic_write(
             f"{graph_dir}/edges_und/part={p}",
             pa.table({"src": u["a"], "dst": u["b"]}),
         )
         counts["u"] = len(u)
-        # vertices: lowest side-rank wins per vid (stable) — rank-stable
-        # argsort + first-occurrence-per-vid, the numpy equivalent of
-        # sort_values("rank", stable).drop_duplicates("a", keep="first")
-        rank_u = g["rank"].to_numpy(zero_copy_only=False)[u_rows]
-        order = np.argsort(rank_u, kind="stable")
-        _, first = np.unique(a[u_rows][order], return_index=True)
-        v_idx = u_rows[order[first]]  # output ordered by vid asc
+        # vertices: min kind per vid = side rank (any BOTH row ⇒ the vid
+        # appears as a directed src ⇒ is_user); url from a non-null row of
+        # that minimal kind (BOTH urls are never null; a REV-only vid has
+        # ≥1 non-null row — each batch ships its first occurrence's url,
+        # and all of a vid's rows land in this partition).  lexsort
+        # (primary kind, secondary nulls-last) + first-occurrence-per-vid.
+        url_null = pc.is_null(_plain(g["url"])).to_numpy(zero_copy_only=False)
+        order = np.lexsort((url_null, kind))
+        _, first = np.unique(a[order], return_index=True)
+        v_idx = order[first]  # output ordered by vid asc
         v = g.take(pa.array(v_idx))
         urls = v["url"].combine_chunks()
         if isinstance(urls, pa.ChunkedArray):
@@ -284,13 +304,11 @@ def build_graph_from_edges(
                     "vid": v["a"],
                     "url": urls,
                     "host": hosts_of(urls),
-                    "is_user": pa.array(
-                        v["rank"].to_numpy(zero_copy_only=False) == 0
-                    ),
+                    "is_user": pa.array(kind[v_idx] == KIND_BOTH),
                 }
             ),
         )
-        counts["v"] = len(v)
+        counts["v"] = len(v_idx)
         return pa.table(
             {
                 "part": pa.array([p], pa.int64()),
